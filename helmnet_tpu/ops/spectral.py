@@ -1,0 +1,228 @@
+"""Spectral Helmholtz operator with PML — TPU-native formulation.
+
+The reference computes the PML-modified Laplacian with a 2D FFT round trip
+(helmnet/spectral.py:31-79): fft2(u) -> 4 spectral multiplies -> ifft2 -> PML
+coefficient combine. On TPU, FFTs map poorly onto the hardware while dense
+matmuls ride the 128x128 MXU at speed of light. The operator is separable and
+its PML coefficients depend only on the coordinate of their own axis:
+
+    L u = a_x(x) du/dx + b_x(x) d2u/dx2 + a_y(y) du/dy + b_y(y) d2u/dy2
+
+so each axis collapses to ONE dense [N, N] complex matrix
+
+    A = diag(a) . D1 + diag(b) . D2,   D1 = F^-1 diag(ik) F,  D2 = F^-1 diag(-k^2) F
+
+and the full operator is two matmuls:  L u = A_y @ u + u @ A_x^T.
+(The MATLAB GMRES baseline builds the very same matrices as sparse krons —
+matlab/spectral_gmres_solver.m:50-90 — we apply them matrix-free per axis.)
+
+Complex arithmetic is done split re/im with real matmuls so everything lands
+on the MXU in f32 (HIGHEST precision). An FFT-based mode (1D transforms only,
+40% fewer passes than the reference's 2D formulation) is kept for very large
+grids and as an independent cross-check.
+
+Wavefields at module boundaries are channel-pairs `[..., H, W, 2]` (re/im,
+NHWC) — the same layout the reference uses for its TorchScript kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pml import pml_coefficients_1d, sigma_maps
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def wavenumbers(n: int) -> np.ndarray:
+    """1D angular wavenumbers in FFT order: 2*pi*fftfreq(n) (float64).
+
+    Identical to the reference construction (helmnet/spectral.py:125-127):
+    2*pi*linspace(-.5,.5,n,endpoint=False) rolled to FFT order.
+    """
+    return 2.0 * np.pi * np.fft.fftfreq(n)
+
+
+def dft_derivative_matrices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Dense spectral derivative matrices (complex128 [n, n]).
+
+    D1 = F^-1 diag(ik) F   (first derivative)
+    D2 = F^-1 diag(-k^2) F (second derivative)
+    """
+    k = wavenumbers(n)
+    eye = np.eye(n)
+    F = np.fft.fft(eye, axis=0)
+    D1 = np.fft.ifft((1j * k)[:, None] * F, axis=0)
+    D2 = np.fft.ifft((-(k**2))[:, None] * F, axis=0)
+    return D1, D2
+
+
+def axis_operator(n: int, pml_size: int, sigma_max: float, k0: float) -> np.ndarray:
+    """Dense 1D PML-modified Laplacian A = diag(a) D1 + diag(b) D2 (complex128)."""
+    a, b = pml_coefficients_1d(n, pml_size, sigma_max, k0)
+    D1, D2 = dft_derivative_matrices(n)
+    return a[:, None] * D1 + b[:, None] * D2
+
+
+class SpectralPML(NamedTuple):
+    """Precomputed operator arrays (a jax pytree, safe to pass through jit).
+
+    Matmul mode uses the split re/im dense matrices; fft mode uses the 1D
+    spectral multipliers + complex PML coefficient vectors.
+    """
+
+    # dense per-axis operators, split re/im, float32
+    ay_r: jax.Array  # [H, H]
+    ay_i: jax.Array
+    ax_r: jax.Array  # [W, W]
+    ax_i: jax.Array
+    # fft-mode data (complex64)
+    ikx: jax.Array  # [W]
+    iky: jax.Array  # [H]
+    ax1d: jax.Array  # [W]
+    bx1d: jax.Array
+    ay1d: jax.Array  # [H]
+    by1d: jax.Array
+    # network input channels [2, H, W] (sigma_x, sigma_y), float32
+    sigmas: jax.Array
+
+    @property
+    def height(self) -> int:
+        return self.ay_r.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.ax_r.shape[0]
+
+
+def make_operator(
+    height: int,
+    width: int,
+    pml_size: int,
+    sigma_max: float,
+    k0: float,
+    dtype=jnp.float32,
+) -> SpectralPML:
+    """Build the operator arrays for an HxW grid (numpy f64 precompute)."""
+    Ax = axis_operator(width, pml_size, sigma_max, k0)
+    Ay = axis_operator(height, pml_size, sigma_max, k0)
+    ax1d, bx1d = pml_coefficients_1d(width, pml_size, sigma_max, k0)
+    ay1d, by1d = pml_coefficients_1d(height, pml_size, sigma_max, k0)
+    sx, sy = sigma_maps(height, width, pml_size, sigma_max)
+    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    return SpectralPML(
+        ay_r=jnp.asarray(Ay.real, dtype),
+        ay_i=jnp.asarray(Ay.imag, dtype),
+        ax_r=jnp.asarray(Ax.real, dtype),
+        ax_i=jnp.asarray(Ax.imag, dtype),
+        ikx=jnp.asarray(1j * wavenumbers(width), cdtype),
+        iky=jnp.asarray(1j * wavenumbers(height), cdtype),
+        ax1d=jnp.asarray(ax1d, cdtype),
+        bx1d=jnp.asarray(bx1d, cdtype),
+        ay1d=jnp.asarray(ay1d, cdtype),
+        by1d=jnp.asarray(by1d, cdtype),
+        sigmas=jnp.asarray(np.stack([sx, sy]), dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laplacian application
+# ---------------------------------------------------------------------------
+
+
+def _complex_matmul_left(m_r, m_i, u):
+    """(M_r + i M_i) applied along axis -3 of channel-pair u [..., H, W, 2]."""
+    pr = jnp.einsum("hj,...jwc->...hwc", m_r, u, precision=HIGHEST)
+    pi = jnp.einsum("hj,...jwc->...hwc", m_i, u, precision=HIGHEST)
+    re = pr[..., 0] - pi[..., 1]
+    im = pr[..., 1] + pi[..., 0]
+    return jnp.stack([re, im], axis=-1)
+
+
+def _complex_matmul_right(m_r, m_i, u):
+    """(M_r + i M_i) applied along axis -2 of channel-pair u [..., H, W, 2]."""
+    pr = jnp.einsum("wj,...hjc->...hwc", m_r, u, precision=HIGHEST)
+    pi = jnp.einsum("wj,...hjc->...hwc", m_i, u, precision=HIGHEST)
+    re = pr[..., 0] - pi[..., 1]
+    im = pr[..., 1] + pi[..., 0]
+    return jnp.stack([re, im], axis=-1)
+
+
+def laplacian_matmul(op: SpectralPML, u: jax.Array) -> jax.Array:
+    """PML Laplacian via two dense complex matmuls. u: [..., H, W, 2]."""
+    lx = _complex_matmul_right(op.ax_r, op.ax_i, u)
+    ly = _complex_matmul_left(op.ay_r, op.ay_i, u)
+    return lx + ly
+
+
+def laplacian_fft(op: SpectralPML, u: jax.Array) -> jax.Array:
+    """PML Laplacian via 1D FFTs (cross-check / large-grid path).
+
+    Uses only 1D transforms: fft_x, two ifft_x, fft_y, two ifft_y — six 1D
+    passes vs ten for the reference's 2D formulation (spectral.py:31-79).
+    """
+    uc = jax.lax.complex(u[..., 0], u[..., 1])
+    # x axis (last)
+    fx = jnp.fft.fft(uc, axis=-1)
+    pair_x = jnp.stack([op.ikx * fx, (op.ikx**2) * fx])
+    dx, ddx = jnp.fft.ifft(pair_x, axis=-1)
+    lx = op.ax1d * dx + op.bx1d * ddx
+    # y axis (second-to-last)
+    fy = jnp.fft.fft(uc, axis=-2)
+    pair_y = jnp.stack([op.iky[:, None] * fy, (op.iky**2)[:, None] * fy])
+    dy, ddy = jnp.fft.ifft(pair_y, axis=-2)
+    ly = op.ay1d[:, None] * dy + op.by1d[:, None] * ddy
+    out = lx + ly
+    return jnp.stack([out.real, out.imag], axis=-1)
+
+
+def laplacian(op: SpectralPML, u: jax.Array, mode: str = "matmul") -> jax.Array:
+    if mode == "matmul":
+        return laplacian_matmul(op, u)
+    elif mode == "fft":
+        return laplacian_fft(op, u)
+    raise ValueError(f"unknown operator mode {mode!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def helmholtz_residual(
+    op: SpectralPML,
+    u: jax.Array,
+    k_sq: jax.Array,
+    source: jax.Array,
+    mode: str = "matmul",
+) -> jax.Array:
+    """r = L u + k^2 u - s  (reference hybridnet.py:544-556).
+
+    u, source: [..., H, W, 2]; k_sq: [..., H, W] (real, broadcast over re/im).
+    """
+    return laplacian(op, u, mode) + k_sq[..., None] * u - source
+
+
+# ---------------------------------------------------------------------------
+# Dense assembly (for GMRES cross-checks and small-system direct solves)
+# ---------------------------------------------------------------------------
+
+
+def assemble_dense(
+    height: int, width: int, pml_size: int, sigma_max: float, k0: float,
+    k_sq: np.ndarray | None = None,
+) -> np.ndarray:
+    """Full dense complex128 system matrix M = kron(I, Ay) + kron(Ax^T?, ...).
+
+    Row-major vectorization u.reshape(H*W): M = kron(Ay, I_W) + kron(I_H, Ax)
+    [+ diag(k_sq.ravel()) if k_sq given]. Matches the MATLAB construction
+    (matlab/spectral_gmres_solver.m:50-90, column-major kron mirrored).
+    Only for small grids (O((HW)^2) memory).
+    """
+    Ax = axis_operator(width, pml_size, sigma_max, k0)
+    Ay = axis_operator(height, pml_size, sigma_max, k0)
+    M = np.kron(Ay, np.eye(width)) + np.kron(np.eye(height), Ax)
+    if k_sq is not None:
+        M = M + np.diag(np.asarray(k_sq, np.complex128).ravel())
+    return M
