@@ -1,0 +1,122 @@
+"""Convolution building blocks — functional, NHWC, params-as-pytrees.
+
+Torch-semantics-equivalent primitives (conv2d with symmetric padding,
+strided down-conv k=8/p=3/s=2, transposed conv k=8/p=3/s=2) expressed the
+XLA way with `lax.conv_general_dilated` so GSPMD can shard spatial dims and
+the MXU sees plain convolutions. Reference blocks: architectures.py:47-132.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .activations import get_activation
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(params, x, *, stride: int = 1, padding: int = 0):
+    """2D convolution, NHWC x HWIO -> NHWC, torch Conv2d semantics."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"],
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_DN,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y + params["b"]
+
+
+def conv_transpose2d(params, x, *, stride: int = 2, padding: int = 3):
+    """Torch ConvTranspose2d(k, stride, padding, output_padding=0) semantics.
+
+    Implemented as an input-dilated convolution: pad = k - 1 - padding, with
+    the kernel stored pre-flipped in HWIO (see `torch_convtranspose_to_hwio`).
+    """
+    k = params["w"].shape[0]
+    p = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"],
+        window_strides=(1, 1),
+        padding=((p, p), (p, p)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DN,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# Torch weight-layout converters (for the pretrained-checkpoint importer)
+# ---------------------------------------------------------------------------
+
+
+def torch_conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    """(O, I, kh, kw) -> (kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def torch_convtranspose_to_hwio(w: np.ndarray) -> np.ndarray:
+    """(I, O, kh, kw) -> spatially flipped (kh, kw, I, O) for dilated conv."""
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match reference training setup: xavier-normal gain .02 on
+# conv weights — hybridnet.py:70-75 — torch-default elsewhere)
+# ---------------------------------------------------------------------------
+
+
+def init_conv(key, k: int, cin: int, cout: int, gain: float = 0.02):
+    wk, bk = jax.random.split(key)
+    fan_in = cin * k * k
+    fan_out = cout * k * k
+    std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+    w = std * jax.random.normal(wk, (k, k, cin, cout), jnp.float32)
+    bound = 1.0 / math.sqrt(fan_in)
+    b = jax.random.uniform(bk, (cout,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_conv_transpose(key, k: int, cin: int, cout: int):
+    # torch ConvTranspose2d default (kaiming-uniform a=sqrt(5))
+    wk, bk = jax.random.split(key)
+    fan_in = cout * k * k  # torch fan-in convention for transposed conv
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(wk, (k, k, cin, cout), jnp.float32, -bound, bound)
+    b = jax.random.uniform(bk, (cout,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+# ---------------------------------------------------------------------------
+# DoubleConv: conv3x3 -> activation -> conv3x3 (NO activation after 2nd conv)
+# ---------------------------------------------------------------------------
+
+
+def init_double_conv(key, cin: int, cout: int, activation: str, cmid=None):
+    cmid = cout if cmid is None else cmid
+    k1, k2, ka = jax.random.split(key, 3)
+    act_init, _ = get_activation(activation)
+    return {
+        "c1": init_conv(k1, 3, cin, cmid),
+        "act": act_init(ka),
+        "c2": init_conv(k2, 3, cmid, cout),
+    }
+
+
+def double_conv(params, x, activation: str):
+    _, act = get_activation(activation)
+    h = conv2d(params["c1"], x, padding=1)
+    h = act(params["act"], h)
+    return conv2d(params["c2"], h, padding=1)
+
+
+def res_double_conv(params, x, activation: str):
+    """DoubleConv with residual skip (reference ResDoubleConv)."""
+    return double_conv(params, x, activation) + x

@@ -1,0 +1,163 @@
+"""HybridNet — the modified UNet with learned multi-resolution hidden state.
+
+Functional re-design of the reference network (architectures.py:317-465).
+The reference mutates `EncoderBlock.state` module attributes during forward
+(architectures.py:227-252) — a pattern that cannot survive `jax.jit`/`scan`.
+Here the hidden states are an explicit tuple carried through the call:
+
+    out, new_states = apply(params, x, states, cfg=...)
+
+States are NHWC `[B, n_d, n_d, state_channels]` with n_d = domain_size/2^d
+for encoder level d < state_depth. Pack/unpack to the reference's flat
+`[B, C, sum(n_d^2)]` layout is provided for replay-buffer interop
+(architectures.py:406-437).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from .activations import get_activation
+from .blocks import (
+    conv2d,
+    conv_transpose2d,
+    double_conv,
+    init_conv,
+    init_conv_transpose,
+    init_double_conv,
+)
+
+
+def states_dimension(domain_size: int, depth: int) -> list[int]:
+    """Per-level state grid sizes [N/2^d] (architectures.py:390-392)."""
+    return [domain_size // (2**d) for d in range(depth)]
+
+
+def init_params(key, cfg: ModelConfig):
+    keys = jax.random.split(key, 4 + 3 * cfg.depth + (cfg.depth + 1))
+    it = iter(keys)
+    act = cfg.activation_function
+    params = {
+        "inc": init_double_conv(next(it), cfg.in_channels, cfg.features, act),
+        "enc": [],
+        "decode": [],
+        "up": [],
+        "outc": init_conv(next(it), 1, cfg.features, 2),
+    }
+    for d in range(cfg.depth):
+        use_state = d < cfg.state_depth
+        blk = {
+            "conv_signal": init_double_conv(
+                next(it),
+                cfg.features + (cfg.state_channels if use_state else 0),
+                cfg.features,
+                act,
+            ),
+            "down": init_conv(next(it), 8, cfg.features, cfg.features),
+        }
+        if use_state:
+            blk["conv_state"] = init_double_conv(
+                next(it), cfg.features + cfg.state_channels, cfg.state_channels, act
+            )
+        params["enc"].append(blk)
+    for i in range(cfg.depth + 1):
+        cin = cfg.features + cfg.features * (i < cfg.depth)
+        params["decode"].append(init_double_conv(next(it), cin, cfg.features, act))
+    for _ in range(cfg.depth):
+        params["up"].append(
+            init_conv_transpose(next(it), 8, cfg.features, cfg.features)
+        )
+    return params
+
+
+def init_states(
+    batch: int, domain_size: int, cfg: ModelConfig, dtype=jnp.float32
+) -> Tuple[jax.Array, ...]:
+    """Zero hidden states (reference clear_states, architectures.py:235-238)."""
+    dims = states_dimension(domain_size, cfg.depth)
+    return tuple(
+        jnp.zeros((batch, dims[d], dims[d], cfg.state_channels), dtype)
+        for d in range(cfg.state_depth)
+    )
+
+
+def apply(
+    params,
+    x: jax.Array,
+    states: Sequence[jax.Array],
+    *,
+    cfg: ModelConfig,
+) -> tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Forward pass. x: [B, H, W, in_channels] NHWC. Returns (out[B,H,W,2], states')."""
+    act = cfg.activation_function
+    x = double_conv(params["inc"], x, act)
+
+    inner_signals = []
+    new_states = []
+    for d in range(cfg.depth):
+        blk = params["enc"][d]
+        if d < cfg.state_depth:
+            x_and_state = jnp.concatenate([x, states[d]], axis=-1)
+            out = double_conv(blk["conv_signal"], x_and_state, act)
+            new_states.append(
+                double_conv(
+                    blk["conv_state"],
+                    jnp.concatenate([out, states[d]], axis=-1),
+                    act,
+                )
+            )
+        else:
+            out = double_conv(blk["conv_signal"], x, act)
+        inner_signals.append(out)
+        x = conv2d(blk["down"], out, stride=2, padding=3)
+
+    x = double_conv(params["decode"][-1], x, act)
+    for d in range(cfg.depth - 1, -1, -1):
+        x = conv_transpose2d(params["up"][d], x, stride=2, padding=3)
+        x = jnp.concatenate([x, inner_signals[d]], axis=-1)
+        x = double_conv(params["decode"][d], x, act)
+
+    out = conv2d(params["outc"], x)
+    return out, tuple(new_states)
+
+
+# ---------------------------------------------------------------------------
+# State pack/unpack — reference flat layout [B, C, sum(n_d^2)], channel-first
+# (architectures.py:425-437), used by the replay buffer and checkpoints.
+# ---------------------------------------------------------------------------
+
+
+def flatten_states(states: Sequence[jax.Array]) -> jax.Array:
+    flat = []
+    for s in states:
+        b, n, _, c = s.shape
+        flat.append(jnp.transpose(s, (0, 3, 1, 2)).reshape(b, c, n * n))
+    return jnp.concatenate(flat, axis=2)
+
+
+def unflatten_states(
+    flat: jax.Array, domain_size: int, cfg: ModelConfig
+) -> Tuple[jax.Array, ...]:
+    dims = states_dimension(domain_size, cfg.depth)
+    states = []
+    start = 0
+    b, c = flat.shape[0], flat.shape[1]
+    for d in range(cfg.state_depth):
+        n = dims[d]
+        chunk = flat[:, :, start : start + n * n]
+        states.append(jnp.transpose(chunk.reshape(b, c, n, n), (0, 2, 3, 1)))
+        start += n * n
+    return tuple(states)
+
+
+def total_state_length(domain_size: int, cfg: ModelConfig) -> int:
+    dims = states_dimension(domain_size, cfg.depth)
+    return sum(n * n for n in dims[: cfg.state_depth])
+
+
+def count_params(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

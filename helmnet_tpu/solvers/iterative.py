@@ -1,0 +1,295 @@
+"""Learned iterative Helmholtz solver — the heart of the framework.
+
+TPU-native re-design of the reference IterativeSolver (hybridnet.py:19-755):
+
+* the rollout is a `lax.scan` over an explicit carry
+  (wavefield, residual, hidden states) — the reference's Python loop with
+  module-attribute state mutation cannot be jitted;
+* all shapes are static per domain size; one compiled executable per
+  (batch, H, W, iterations, collect) signature, cached;
+* the physics operator is the MXU matmul spectral PML operator (ops/spectral).
+
+Wavefields/residuals/sources are NHWC channel pairs [B, H, W, 2];
+sos maps are [B, H, W].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..models import hybridnet
+from ..ops.source import point_source_map
+from ..ops.spectral import SpectralPML, helmholtz_residual, make_operator
+
+RESIDUAL_SCALE = 1e3  # reference feeds 1e3*residual and applies d/1e3 updates
+
+
+class SolverCarry(NamedTuple):
+    wavefield: jax.Array  # [B, H, W, 2]
+    residual: jax.Array  # [B, H, W, 2]
+    states: Tuple[jax.Array, ...]
+
+
+def get_initials(sos_maps: jax.Array, omega: float) -> tuple[jax.Array, jax.Array]:
+    """k_sq = (omega/c)^2 and a zero wavefield (hybridnet.py:522-538)."""
+    k_sq = (omega / sos_maps) ** 2
+    b, h, w = sos_maps.shape
+    wavefield = jnp.zeros((b, h, w, 2), sos_maps.dtype)
+    return k_sq, wavefield
+
+
+def network_input(
+    wavefield: jax.Array, residual: jax.Array, sigmas_hwc: jax.Array
+) -> jax.Array:
+    """[wavefield(2), 1e3*residual(2), sigma_x, sigma_y] channels
+    (hybridnet.py:558-566)."""
+    b = wavefield.shape[0]
+    sig = jnp.broadcast_to(sigmas_hwc[None], (b,) + sigmas_hwc.shape)
+    return jnp.concatenate([wavefield, RESIDUAL_SCALE * residual, sig], axis=-1)
+
+
+def single_step(
+    params,
+    op: SpectralPML,
+    source: jax.Array,
+    k_sq: jax.Array,
+    carry: SolverCarry,
+    *,
+    cfg: Config,
+) -> SolverCarry:
+    """One learned update: wf' = wf + f(...)/1e3; r' = L wf' + k^2 wf' - s."""
+    sigmas_hwc = jnp.transpose(op.sigmas, (1, 2, 0))  # [H, W, 2]
+    net_in = network_input(carry.wavefield, carry.residual, sigmas_hwc)
+    d, new_states = hybridnet.apply(params, net_in, carry.states, cfg=cfg.model)
+    wavefield = d / RESIDUAL_SCALE + carry.wavefield
+    residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
+    return SolverCarry(wavefield, residual, new_states)
+
+
+def residual_rmse(residual: jax.Array) -> jax.Array:
+    """Per-sample RMSE over (H, W, 2) (hybridnet.py:295-297)."""
+    return jnp.sqrt(jnp.mean(residual**2, axis=(1, 2, 3)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_iterations", "collect", "decimate")
+)
+def rollout(
+    params,
+    op: SpectralPML,
+    source: jax.Array,
+    sos_maps: jax.Array,
+    *,
+    cfg: Config,
+    num_iterations: int,
+    collect: tuple = ("rmse",),
+    decimate: int = 1,
+):
+    """Full inference rollout (reference forward, hybridnet.py:654-697).
+
+    collect ⊆ {'rmse', 'wavefields', 'residuals', 'states'}; per-iteration
+    outputs are optionally decimated by `decimate` to bound memory (the
+    reference materializes all 1000 wavefields — SURVEY.md 3.3).
+    Returns dict with 'wavefield', 'residual', 'states' (finals) plus stacked
+    per-iteration arrays for each requested key.
+    """
+    if num_iterations % decimate != 0:
+        raise ValueError("num_iterations must be divisible by decimate")
+    k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
+    states = hybridnet.init_states(
+        sos_maps.shape[0], sos_maps.shape[1], cfg.model, sos_maps.dtype
+    )
+    residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
+    carry = SolverCarry(wavefield, residual, states)
+
+    def inner_body(carry, _):
+        carry = single_step(params, op, source, k_sq, carry, cfg=cfg)
+        ys = {}
+        if "rmse" in collect:
+            ys["rmse"] = residual_rmse(carry.residual)
+        return carry, ys
+
+    def outer_body(carry, _):
+        # `decimate` steps; heavy arrays are only sampled once per chunk
+        carry, inner_ys = jax.lax.scan(inner_body, carry, None, length=decimate)
+        ys = dict(inner_ys)
+        if "wavefields" in collect:
+            ys["wavefields"] = carry.wavefield
+        if "residuals" in collect:
+            ys["residuals"] = carry.residual
+        if "states" in collect:
+            ys["states"] = hybridnet.flatten_states(carry.states)
+        return carry, ys
+
+    carry, ys = jax.lax.scan(
+        outer_body, carry, None, length=num_iterations // decimate
+    )
+    out = {
+        "wavefield": carry.wavefield,
+        "residual": carry.residual,
+        "states": carry.states,
+    }
+    if "rmse" in ys:
+        # [chunks, decimate, B] -> [iterations, B]
+        r = ys.pop("rmse")
+        out["rmse"] = r.reshape(num_iterations, *r.shape[2:])
+    out.update(ys)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def n_steps(
+    params,
+    op: SpectralPML,
+    source: jax.Array,
+    k_sq: jax.Array,
+    carry: SolverCarry,
+    *,
+    cfg: Config,
+    num_steps: int,
+):
+    """Differentiable unrolled steps from an arbitrary solver state
+    (reference n_steps, hybridnet.py:586-623). Returns (final_carry, ys) with
+    ys stacking per-step wavefields/residuals/flat states [T, B, ...]."""
+
+    def body(carry, _):
+        carry = single_step(params, op, source, k_sq, carry, cfg=cfg)
+        ys = {
+            "wavefields": carry.wavefield,
+            "residuals": carry.residual,
+            "states": hybridnet.flatten_states(carry.states),
+        }
+        return carry, ys
+
+    return jax.lax.scan(body, carry, None, length=num_steps)
+
+
+class IterativeSolver:
+    """Convenience wrapper owning config, operator, source and params.
+
+    Mirrors the reference module API (set_domain_size, get_residual, forward)
+    on top of the pure functions above.
+    """
+
+    def __init__(self, config: Config, params=None, key=None):
+        self.cfg = config
+        if params is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            params = hybridnet.init_params(key, config.model)
+        self.params = params
+        self._op_cache: dict = {}
+        self.set_domain_size(config.geometry.domain_size)
+
+    # -- geometry / source management ------------------------------------
+
+    def operator(self, height: int, width: int) -> SpectralPML:
+        key = (height, width)
+        if key not in self._op_cache:
+            g = self.cfg.geometry
+            self._op_cache[key] = make_operator(
+                height, width, g.pml_size, g.sigma_max, self.cfg.k0
+            )
+        return self._op_cache[key]
+
+    def set_domain_size(
+        self,
+        domain_size,
+        source_location: Optional[Sequence[int]] = None,
+        source_map: Optional[jax.Array] = None,
+    ):
+        """Re-target the solver to a new grid (hybridnet.py:92-108). The same
+        weights run at any size; compilation is cached per shape."""
+        if isinstance(domain_size, int):
+            height = width = domain_size
+        else:
+            height, width = domain_size
+        self.height, self.width = height, width
+        self.cfg = self.cfg.replace(
+            geometry=self.cfg.geometry.__class__(
+                domain_size=height,
+                pml_size=self.cfg.geometry.pml_size,
+                sigma_max=self.cfg.geometry.sigma_max,
+            )
+        )
+        self.op = self.operator(height, width)
+        if source_map is not None:
+            self.set_source_maps(source_map)
+        else:
+            loc = tuple(source_location or self.cfg.source.location)
+            self.set_sources([loc])
+        return self
+
+    def set_sources(self, locations: Sequence[Sequence[int]]):
+        s = self.cfg.source
+        maps = np.stack(
+            [
+                point_source_map(
+                    self.height, self.width, tuple(loc), s.amplitude, s.phase,
+                    s.omega, 0.0, s.smoothing,
+                )
+                for loc in locations
+            ]
+        )
+        self.source = jnp.asarray(maps)
+        return self
+
+    def set_source_maps(self, source_map):
+        """Accepts [H,W,2], [B,H,W,2], or torch-layout [B,2,H,W]."""
+        sm = jnp.asarray(source_map, jnp.float32)
+        if sm.ndim == 3:
+            sm = sm[None]
+        if sm.shape[-1] != 2 and sm.shape[1] == 2:
+            sm = jnp.transpose(sm, (0, 2, 3, 1))
+        self.source = sm
+        return self
+
+    # -- physics ----------------------------------------------------------
+
+    def get_initials(self, sos_maps):
+        return get_initials(jnp.asarray(sos_maps), self.cfg.source.omega)
+
+    def get_residual(self, wavefield, k_sq):
+        return helmholtz_residual(
+            self.op, wavefield, k_sq, self.source, self.cfg.operator_mode
+        )
+
+    # -- inference --------------------------------------------------------
+
+    def forward(
+        self,
+        sos_maps,
+        num_iterations: Optional[int] = None,
+        collect: tuple = ("rmse",),
+        decimate: int = 1,
+    ):
+        """Run the learned solver. sos_maps: [B, H, W] (or [H, W])."""
+        sos = jnp.asarray(sos_maps, jnp.float32)
+        if sos.ndim == 2:
+            sos = sos[None]
+        iters = num_iterations or self.cfg.max_iterations
+        source = self.source
+        if source.shape[0] == 1 and sos.shape[0] > 1:
+            source = jnp.broadcast_to(source, (sos.shape[0],) + source.shape[1:])
+        return rollout(
+            self.params,
+            self.op,
+            source,
+            sos,
+            cfg=self.cfg,
+            num_iterations=iters,
+            collect=collect,
+            decimate=decimate,
+        )
+
+    @classmethod
+    def from_reference_checkpoint(cls, path: str, config: Optional[Config] = None):
+        from ..train.checkpoint import load_reference_checkpoint
+
+        params, ckpt_cfg = load_reference_checkpoint(path)
+        return cls(config or ckpt_cfg, params=params)

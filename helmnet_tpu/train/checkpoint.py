@@ -1,0 +1,176 @@
+"""Checkpointing: orbax-backed native checkpoints + importer for the
+reference PyTorch-Lightning checkpoint (trained_models/*.ckpt).
+
+The torch checkpoint stores 93 tensors under names like
+`f.enc.0.conv_signal.double_conv.0.weight` (NCHW/OIHW); we map them onto the
+functional params pytree (NHWC/HWIO) — see models/blocks.py converters.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, ModelConfig
+from ..models.blocks import torch_conv_to_hwio, torch_convtranspose_to_hwio
+
+
+def _load_torch_state_dict(path: str) -> tuple[dict, dict]:
+    """Load a lightning checkpoint's state_dict + hyper_parameters via torch.
+
+    Shims pytorch_lightning's AttributeDict if lightning isn't installed.
+    """
+    import sys
+    import types
+
+    import torch
+
+    if "pytorch_lightning" not in sys.modules:
+        try:
+            import pytorch_lightning  # noqa: F401
+        except ImportError:
+            m = types.ModuleType("pytorch_lightning")
+            u = types.ModuleType("pytorch_lightning.utilities")
+            p = types.ModuleType("pytorch_lightning.utilities.parsing")
+
+            class AttributeDict(dict):
+                def __getattr__(self, k):
+                    return self[k]
+
+            p.AttributeDict = AttributeDict
+            m.utilities = u
+            u.parsing = p
+            sys.modules["pytorch_lightning"] = m
+            sys.modules["pytorch_lightning.utilities"] = u
+            sys.modules["pytorch_lightning.utilities.parsing"] = p
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
+    hparams = dict(ckpt.get("hyper_parameters", {}))
+    return sd, hparams
+
+
+def _double_conv_from_torch(sd: dict, prefix: str) -> dict:
+    out = {
+        "c1": {
+            "w": torch_conv_to_hwio(sd[f"{prefix}.double_conv.0.weight"]),
+            "b": sd[f"{prefix}.double_conv.0.bias"],
+        },
+        "c2": {
+            "w": torch_conv_to_hwio(sd[f"{prefix}.double_conv.2.weight"]),
+            "b": sd[f"{prefix}.double_conv.2.bias"],
+        },
+    }
+    # activation between the convs: PReLU stores a learnable slope at .1
+    act_key = f"{prefix}.double_conv.1.weight"
+    out["act"] = {"a": sd[act_key]} if act_key in sd else {}
+    return out
+
+
+def params_from_torch_state_dict(sd: dict, cfg: ModelConfig) -> dict:
+    """Map the reference `f.*` tensors to our params pytree (numpy arrays)."""
+    params: dict[str, Any] = {
+        "inc": _double_conv_from_torch(sd, "f.inc"),
+        "enc": [],
+        "decode": [],
+        "up": [],
+        "outc": {
+            "w": torch_conv_to_hwio(sd["f.outc.conv.weight"]),
+            "b": sd["f.outc.conv.bias"],
+        },
+    }
+    for d in range(cfg.depth):
+        blk = {
+            "conv_signal": _double_conv_from_torch(sd, f"f.enc.{d}.conv_signal"),
+            "down": {
+                "w": torch_conv_to_hwio(sd[f"f.enc.{d}.down.weight"]),
+                "b": sd[f"f.enc.{d}.down.bias"],
+            },
+        }
+        if f"f.enc.{d}.conv_state.double_conv.0.weight" in sd:
+            blk["conv_state"] = _double_conv_from_torch(sd, f"f.enc.{d}.conv_state")
+        params["enc"].append(blk)
+    for i in range(cfg.depth + 1):
+        params["decode"].append(_double_conv_from_torch(sd, f"f.decode.{i}"))
+    for d in range(cfg.depth):
+        params["up"].append(
+            {
+                "w": torch_convtranspose_to_hwio(sd[f"f.up.{d}.weight"]),
+                "b": sd[f"f.up.{d}.bias"],
+            }
+        )
+    return jax.tree.map(lambda a: jnp.asarray(np.ascontiguousarray(a)), params)
+
+
+def load_reference_checkpoint(path: str) -> Tuple[dict, Config]:
+    """Import the reference .ckpt -> (params pytree, Config).
+
+    Mirrors IterativeSolver.load_from_checkpoint(strict=False): buffers that
+    don't match (source, Lap.*) are ignored — we rebuild them from config.
+    """
+    sd, hp = _load_torch_state_dict(path)
+    cfg = Config()
+    cfg = cfg.replace(
+        max_iterations=int(hp.get("max_iterations", cfg.max_iterations)),
+        geometry=cfg.geometry.__class__(
+            domain_size=int(hp.get("domain_size", 96)),
+            pml_size=int(hp.get("PMLsize", 8)),
+            sigma_max=float(hp.get("sigma_max", 2.0)),
+        ),
+        model=cfg.model.__class__(
+            architecture=hp.get("architecture", "custom_unet"),
+            activation_function=hp.get("activation_function", "prelu"),
+            features=int(hp.get("features", 8)),
+            depth=int(hp.get("depth", 4)),
+            state_depth=int(hp.get("state_depth", 4)),
+            state_channels=int(hp.get("state_channels", 2)),
+        ),
+        source=cfg.source.__class__(
+            amplitude=float(hp.get("source_amplitude", 10.0)),
+            location=tuple(hp.get("source_location", (82, 48))),
+            omega=float(hp.get("omega", 1.0)),
+            phase=float(hp.get("source_phase", 0.0)),
+            smoothing=bool(hp.get("source_smoothing", False)),
+        ),
+    )
+    params = params_from_torch_state_dict(sd, cfg.model)
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(directory: str, step: int, state) -> None:
+    """Save a train-state pytree with orbax (multi-host safe)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"step_{step}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(directory: str, step: int, template):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"step_{step}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path, item=template)
+
+
+def latest_step(directory: str):
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                pass
+    return max(steps) if steps else None

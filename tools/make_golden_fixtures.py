@@ -1,0 +1,163 @@
+"""Generate golden parity fixtures by running the REFERENCE torch code.
+
+Run manually (needs /root/reference mounted):
+    python tools/make_golden_fixtures.py
+
+Outputs tests/fixtures/*.npz which are committed; the tests themselves never
+import the reference. This script drives the reference's public modules
+(architectures/spectral/source_module) with the shipped pretrained checkpoint
+to capture: (A) the Fast PML Laplacian on random input, (B) one HybridNet
+forward, (C) a 100-iteration solver rollout trace on a fixed sos slab.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+REFERENCE = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+sys.path.insert(0, REFERENCE)
+
+# Shim lightning for the checkpoint pickle only
+try:
+    import pytorch_lightning  # noqa: F401
+except ImportError:
+    m = types.ModuleType("pytorch_lightning")
+    u = types.ModuleType("pytorch_lightning.utilities")
+    p = types.ModuleType("pytorch_lightning.utilities.parsing")
+
+    class AttributeDict(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    p.AttributeDict = AttributeDict
+    m.utilities = u
+    u.parsing = p
+    m.LightningModule = torch.nn.Module
+    sys.modules["pytorch_lightning"] = m
+    sys.modules["pytorch_lightning.utilities"] = u
+    sys.modules["pytorch_lightning.utilities.parsing"] = p
+
+try:
+    import torchmetrics  # noqa: F401
+except ImportError:
+    tm = types.ModuleType("torchmetrics")
+    tr = types.ModuleType("torchmetrics.regression")
+
+    class MeanAbsoluteError(torch.nn.Module):
+        def forward(self, a, b):
+            return (a - b).abs().mean()
+
+    tr.MeanAbsoluteError = MeanAbsoluteError
+    tm.regression = tr
+    sys.modules["torchmetrics"] = tm
+    sys.modules["torchmetrics.regression"] = tr
+
+from helmnet.architectures import HybridNet  # noqa: E402  (reference module)
+from helmnet.spectral import FastLaplacianWithPML  # noqa: E402
+from helmnet.source_module import SourceModule  # noqa: E402
+
+CKPT = os.path.join(REFERENCE, "trained_models/jcp_paper_trained_weights.ckpt")
+
+torch.manual_seed(0)
+np.random.seed(0)
+os.makedirs(OUT, exist_ok=True)
+
+N, PML, SIGMA_MAX, K0, OMEGA = 96, 8, 2.0, 1.0, 1.0
+SRC_LOC, SRC_AMP = [82, 48], 10.0
+
+ckpt = torch.load(CKPT, map_location="cpu", weights_only=False)
+sd = ckpt["state_dict"]
+f_sd = {k[2:]: v for k, v in sd.items() if k.startswith("f.")}
+
+net = HybridNet(
+    activation_function="prelu",
+    depth=4,
+    domain_size=N,
+    features=8,
+    inchannels=6,
+    state_channels=2,
+    state_depth=4,
+)
+net.load_state_dict(f_sd)
+net.eval()
+
+lap = FastLaplacianWithPML(domain_size=N, PMLsize=PML, k=K0, sigma_max=SIGMA_MAX)
+sigx, sigy = lap.sigmas()
+sigmas = torch.stack([sigx, sigy]).float()  # [2, N, N]
+
+src_mod = SourceModule(
+    image_size=N, omega=OMEGA, location=SRC_LOC, amplitude=SRC_AMP, phase=0.0,
+    smooth=False,
+)
+source = src_mod.spatial_map(0).permute(0, 3, 1, 2).float()  # [1, 2, N, N]
+
+
+def apply_lap(x_nchw):
+    return lap(x_nchw.permute(0, 2, 3, 1).contiguous()).permute(0, 3, 1, 2)
+
+
+def get_residual(x, k_sq):
+    return apply_lap(x) + k_sq * x - source
+
+
+# --- Fixture A: Laplacian on random input (NHWC re/im pair layout) ----------
+u = torch.randn(2, N, N, 2)
+lap_out = lap(u)
+np.savez_compressed(
+    os.path.join(OUT, "laplacian_96.npz"),
+    u=u.numpy(),
+    lap=lap_out.detach().numpy(),
+    sigmas=sigmas.numpy(),
+)
+
+# --- Fixture B: single network forward with checkpoint weights --------------
+with torch.no_grad():
+    x_in = 0.1 * torch.randn(2, 6, N, N)
+    net.clear_states(x_in)
+    out = net(x_in)
+    states_flat = net.get_states(flatten=True)
+np.savez_compressed(
+    os.path.join(OUT, "hybridnet_forward_96.npz"),
+    x=x_in.numpy(),
+    out=out.numpy(),
+    states_flat=states_flat.numpy(),
+)
+
+# --- Fixture C: 100-iteration rollout on a fixed slab sos map ----------------
+sos = np.ones((N, N), np.float32)
+sos[40:64, 12:84] = 1.5
+sos_t = torch.tensor(sos)[None, None]
+
+with torch.no_grad():
+    k_sq = (OMEGA / sos_t) ** 2
+    wavefield = torch.zeros(1, 2, N, N)
+    net.clear_states(wavefield)
+    residual = get_residual(wavefield, k_sq)
+    rmse = []
+    wf10 = None
+    for it in range(100):
+        inp = torch.cat(
+            [wavefield, 1e3 * residual, sigmas.unsqueeze(0)], dim=1
+        )
+        d = net(inp)
+        wavefield = d / 1e3 + wavefield
+        residual = get_residual(wavefield, k_sq)
+        rmse.append(float(residual.pow(2).mean((1, 2, 3)).sqrt()[0]))
+        if it == 9:
+            wf10 = wavefield.clone()
+np.savez_compressed(
+    os.path.join(OUT, "rollout_96_slab.npz"),
+    sos=sos,
+    source=source.numpy(),
+    rmse=np.array(rmse, np.float64),
+    wavefield_10=wf10.numpy(),
+    wavefield_100=wavefield.numpy(),
+    residual_100=residual.numpy(),
+)
+
+print("fixtures written to", os.path.abspath(OUT))
+print("rollout rmse[0,9,49,99] =", [np.array(rmse)[i] for i in (0, 9, 49, 99)])
