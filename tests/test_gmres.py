@@ -1,0 +1,122 @@
+"""GMRES solver tests: scipy cross-check, dense direct-solve parity,
+checkpoint semantics, batched sweeps."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from helmnet_tpu.ops.source import point_source_map
+from helmnet_tpu.ops.spectral import assemble_dense, make_operator
+from helmnet_tpu.solvers import gmres
+
+
+def problem(n=32, pml=4, seed=0):
+    rng = np.random.default_rng(seed)
+    sos = np.ones((n, n), np.float32)
+    sos[10:20, 8:26] = 1.5
+    k_sq = (1.0 / sos) ** 2
+    src = point_source_map(n, n, (n - 8, n // 2), 10.0)
+    op = make_operator(n, n, pml, 2.0, 1.0)
+    return op, k_sq, src, n, pml
+
+
+class TestGMRES:
+    def test_matches_dense_direct_solve(self):
+        op, k_sq, src, n, pml = problem()
+        res = gmres.solve_helmholtz(
+            op, k_sq, src, restart=30, max_restarts=40, tol=1e-7
+        )
+        M = assemble_dense(n, n, pml, 2.0, 1.0, k_sq=k_sq)
+        b = (src[..., 0] + 1j * src[..., 1]).ravel()
+        u_direct = np.linalg.solve(M, b).reshape(n, n)
+        got = np.asarray(res.x)
+        scale = np.abs(u_direct).max()
+        np.testing.assert_allclose(got, u_direct, atol=2e-3 * scale)
+
+    def test_matches_scipy_gmres(self):
+        op, k_sq, src, n, pml = problem()
+        M = assemble_dense(n, n, pml, 2.0, 1.0, k_sq=k_sq)
+        b = (src[..., 0] + 1j * src[..., 1]).ravel()
+        x_sp, info = spla.gmres(
+            M.astype(np.complex64), b.astype(np.complex64),
+            restart=30, maxiter=40, rtol=1e-6,
+        )
+        res = gmres.solve_helmholtz(
+            op, k_sq, src, restart=30, max_restarts=40, tol=1e-6
+        )
+        scale = np.abs(x_sp).max()
+        np.testing.assert_allclose(
+            np.asarray(res.x).ravel(), x_sp, atol=5e-3 * scale
+        )
+
+    def test_residual_norms_decrease_and_checkpoint(self):
+        op, k_sq, src, n, pml = problem()
+        res = gmres.solve_helmholtz(
+            op, k_sq, src, restart=30, max_restarts=10, tol=1e-12
+        )
+        rn = np.asarray(res.residual_norms)
+        assert rn.shape == (11,)
+        assert rn[-1] < rn[0] * 1e-3
+        # checkpoint after last cycle == final solution
+        np.testing.assert_allclose(
+            np.asarray(res.checkpoints[-1]), np.asarray(res.x), atol=0
+        )
+        # monotone (non-increasing up to fp wiggle)
+        assert np.all(rn[1:] <= rn[:-1] * 1.01)
+
+    def test_early_convergence_freezes_solution(self):
+        op, k_sq, src, n, pml = problem()
+        res = gmres.solve_helmholtz(
+            op, k_sq, src, restart=30, max_restarts=30, tol=1e-5
+        )
+        assert int(res.iterations) < 30 * 30
+        rn = np.asarray(res.residual_norms)
+        bnorm = np.linalg.norm(np.asarray(src[..., 0] + 1j * src[..., 1]))
+        assert rn[-1] <= 1e-5 * bnorm * 1.5
+
+    def test_batched_sweep(self):
+        op, k_sq, src, n, pml = problem()
+        k2 = np.stack([k_sq, np.ones_like(k_sq)])
+        s2 = np.stack([src, src])
+        res = gmres.solve_helmholtz_batch(
+            op, k2, s2, restart=20, max_restarts=10, tol=1e-6
+        )
+        assert res.x.shape == (2, n, n)
+        rn = np.asarray(res.residual_norms)
+        assert rn.shape == (2, 11)
+        assert np.all(rn[:, -1] < rn[:, 0] * 1e-2)
+
+    def test_zero_rhs(self):
+        op, k_sq, src, n, pml = problem()
+        res = gmres.solve_helmholtz(
+            op, k_sq, np.zeros_like(src), restart=10, max_restarts=3, tol=1e-8
+        )
+        assert np.allclose(np.asarray(res.x), 0.0)
+        assert np.all(np.isfinite(np.asarray(res.residual_norms)))
+
+    def test_learned_solver_agrees_with_gmres(self):
+        """Cross-solver consistency on the same discrete operator (the
+        parity harness core, support_functions.py:375-513)."""
+        import os
+
+        ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+        if not os.path.exists(ckpt):
+            pytest.skip("reference checkpoint not available")
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+
+        solver = IterativeSolver.from_reference_checkpoint(ckpt)
+        sos = np.ones((96, 96), np.float32)
+        sos[40:64, 12:84] = 1.5
+        out = solver.forward(sos[None], num_iterations=200)
+        u_model = np.asarray(out["wavefield"])[0]
+        u_model_c = u_model[..., 0] + 1j * u_model[..., 1]
+
+        k_sq = (1.0 / sos) ** 2
+        res = gmres.solve_helmholtz(
+            solver.op, k_sq, np.asarray(solver.source[0]),
+            restart=50, max_restarts=40, tol=1e-7,
+        )
+        u_g = np.asarray(res.x)
+        scale = np.abs(u_g).max()
+        err = np.abs(u_model_c - u_g).max() / scale
+        assert err < 0.05, f"learned vs GMRES relative l_inf {err}"
