@@ -38,7 +38,7 @@ def states_dimension(domain_size: int, depth: int) -> list[int]:
 
 
 def init_params(key, cfg: ModelConfig):
-    keys = jax.random.split(key, 4 + 3 * cfg.depth + (cfg.depth + 1))
+    keys = jax.random.split(key, 5 * cfg.depth + 8)
     it = iter(keys)
     act = cfg.activation_function
     params = {

@@ -1,0 +1,391 @@
+"""Unsupervised physics-residual training loop.
+
+Reproduces the reference training scheme (hybridnet.py:385-505) the TPU way:
+
+* truncated BPTT: sample partially-solved problems from the replay buffer,
+  unroll `unrolling_steps` learned updates under grad, loss = amplify *
+  mean(residuals^2) over all unrolled steps;
+* curriculum: experiences may only evolve up to min(slope*epoch+1, max_iter)
+  solver iterations before being restarted from a fresh sos map;
+* re-admission gate: evolved experiences return to their buffer slot only if
+  mean(res^2) < 1 (divergence guard), else the slot restarts at iteration 0;
+* Adam(0.9, 0.95) + L2 weight decay + grad value-clipping 1.0 +
+  ReduceLROnPlateau(factor .5, patience 10) on the epoch-mean train loss.
+
+The jitted train_step is data-parallel: pass a mesh and batches are sharded
+over the 'data' axis; XLA inserts the gradient all-reduce (replacing the
+reference's Lightning DDP/NCCL, train.py:14-25).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import Config
+from ..core.meshes import shard_batch
+from ..models import hybridnet
+from ..ops.source import point_source_map
+from ..ops.spectral import helmholtz_residual, make_operator
+from ..solvers.iterative import (
+    SolverCarry,
+    get_initials,
+    n_steps,
+    residual_rmse,
+    rollout,
+)
+from .replay import ExperienceBatch, ReplayBuffer
+
+
+def make_optimizer(cfg: Config):
+    """torch-Adam-equivalent: clip grads by value, L2 into grads, Adam."""
+    t = cfg.training
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip(t.gradient_clip) if t.gradient_clip > 0 else optax.identity(),
+            optax.add_decayed_weights(t.weight_decay),
+            optax.scale_by_adam(b1=t.adam_b1, b2=t.adam_b2),
+            optax.scale(-learning_rate),
+        )
+    )(learning_rate=t.learning_rate)
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau(min, factor, patience) — hybridnet.py:270-283."""
+
+    def __init__(self, lr: float, factor: float, patience: int, min_lr: float):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+class Trainer:
+    """Owns params/opt state, replay buffer, operator; runs epochs."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        params=None,
+        key=None,
+        mesh=None,
+        log_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = (
+            params if params is not None else hybridnet.init_params(key, cfg.model)
+        )
+        g = cfg.geometry
+        self.height = self.width = g.domain_size
+        self.op = make_operator(
+            self.height, self.width, g.pml_size, g.sigma_max, cfg.k0
+        )
+        s = cfg.source
+        self.source_map = jnp.asarray(
+            point_source_map(
+                self.height, self.width, tuple(s.location), s.amplitude,
+                s.phase, s.omega, 0.0, s.smoothing,
+            )
+        )
+        self.optimizer = make_optimizer(cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.buffer = ReplayBuffer(
+            cfg.training.buffer_size,
+            self.height,
+            self.width,
+            cfg.model.state_channels,
+            hybridnet.total_state_length(self.height, cfg.model),
+        )
+        self.rng = np.random.default_rng(0)
+        self.scheduler = PlateauScheduler(
+            cfg.training.learning_rate,
+            cfg.training.plateau_factor,
+            cfg.training.plateau_patience,
+            cfg.training.minimum_learning_rate,
+        )
+        self.epoch = 0
+        self.global_step = 0
+        self.log_dir = log_dir
+        self._log_file = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._log_file = open(os.path.join(log_dir, "train_log.jsonl"), "a")
+        self._build_jitted_fns()
+
+    # ------------------------------------------------------------------
+
+    def _build_jitted_fns(self):
+        cfg = self.cfg
+        optimizer = self.optimizer
+        num_steps = cfg.training.unrolling_steps
+
+        def train_step(params, opt_state, op, batch: ExperienceBatch, pick):
+            def loss_fn(p):
+                carry = SolverCarry(
+                    batch.wavefield,
+                    batch.residual,
+                    hybridnet.unflatten_states(
+                        batch.states, batch.wavefield.shape[1], cfg.model
+                    ),
+                )
+                _, ys = n_steps(
+                    p, op, batch.source, batch.k_sq, carry,
+                    cfg=cfg, num_steps=num_steps,
+                )
+                res = ys["residuals"]  # [U, B, H, W, 2]
+                loss = cfg.training.loss_amplify * jnp.mean(res**2)
+                return loss, ys
+
+            (loss, ys), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            take = lambda a: jax.lax.dynamic_index_in_dim(
+                a, pick, axis=0, keepdims=False
+            )
+            evolved = {
+                "wavefield": take(ys["wavefields"]),
+                "states": take(ys["states"]),
+                "residual": take(ys["residuals"]),
+            }
+            evolved["res_sq_mean"] = jnp.mean(
+                evolved["residual"] ** 2, axis=(1, 2, 3)
+            )
+            res = ys["residuals"]
+            metrics = {
+                "loss": loss,
+                "rel_loss": jnp.mean(
+                    jnp.sqrt(jnp.mean(res**2, axis=(2, 3, 4)))
+                ),
+                "grad_norm": optax.global_norm(grads),
+            }
+            return params, opt_state, metrics, evolved
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def init_experiences(op, source, sos_maps):
+            """Fresh iteration-0 experiences (train_dataloader fill logic,
+            hybridnet.py:199-218)."""
+            k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
+            states = hybridnet.init_states(
+                sos_maps.shape[0], sos_maps.shape[1], cfg.model
+            )
+            residual = helmholtz_residual(
+                op, wavefield, k_sq, source, cfg.operator_mode
+            )
+            return {
+                "wavefield": wavefield,
+                "states": hybridnet.flatten_states(states),
+                "k_sq": k_sq,
+                "residual": residual,
+            }
+
+        self._init_experiences = jax.jit(init_experiences)
+
+    # ------------------------------------------------------------------
+
+    def fill_buffer(self, sos_maps: np.ndarray):
+        """Seed all slots with fresh problems; slot i gets starting age 10*i
+        (hybridnet.py:199-218) so curriculum ages are spread out."""
+        cap = self.buffer.capacity
+        maps = sos_maps[np.arange(cap) % len(sos_maps)]
+        chunk = 64
+        src = np.broadcast_to(
+            np.asarray(self.source_map)[None],
+            (min(chunk, cap), self.height, self.width, 2),
+        )
+        for start in range(0, cap, chunk):
+            sl = slice(start, min(start + chunk, cap))
+            n = sl.stop - sl.start
+            exp = self._init_experiences(
+                self.op, jnp.asarray(src[:n]), jnp.asarray(maps[sl])
+            )
+            exp = jax.device_get(exp)
+            self.buffer.append_batch(
+                np.arange(sl.start, sl.stop),
+                exp["wavefield"],
+                exp["states"],
+                exp["k_sq"],
+                exp["residual"],
+                src[:n],
+                np.arange(sl.start, sl.stop) * 10,
+            )
+
+    def max_allowed_iterations(self) -> int:
+        t = self.cfg.training
+        return min(self.epoch * t.curriculum_slope + 1, self.cfg.max_iterations)
+
+    def training_epoch(self, train_maps: np.ndarray) -> dict:
+        """One pass over the sos dataset (batch count = len/batch_size)."""
+        t = self.cfg.training
+        bs = t.train_batch_size
+        maxiter = self.max_allowed_iterations()
+        num_batches = max(len(train_maps) // bs, 1)
+        order = self.rng.permutation(len(train_maps))
+        losses, restarts = [], 0
+        tic = time.time()
+        for b in range(num_batches):
+            sos_batch = train_maps[order[b * bs : (b + 1) * bs]]
+            batch = self.buffer.sample(bs)
+            pick = int(self.rng.integers(t.unrolling_steps))
+            dev_batch = ExperienceBatch(
+                *[jnp.asarray(a) for a in batch[:-1]], batch.indices
+            )
+            if self.mesh is not None:
+                dev_batch = ExperienceBatch(
+                    *shard_batch(self.mesh, list(dev_batch[:-1])), batch.indices
+                )
+            self.params, self.opt_state, metrics, evolved = self._train_step(
+                self.params, self.opt_state, self.op, dev_batch, pick
+            )
+            metrics = jax.device_get(metrics)
+            evolved = jax.device_get(evolved)
+            losses.append(float(metrics["loss"]))
+
+            # ---- buffer write-back (hybridnet.py:427-464) ----
+            new_t = batch.iteration + pick + 1
+            keep = (evolved["res_sq_mean"] < 1.0) & (new_t < maxiter)
+            fresh_sos = sos_batch[
+                self.rng.integers(len(sos_batch), size=bs)
+            ]
+            fresh = jax.device_get(
+                self._init_experiences(
+                    self.op,
+                    jnp.broadcast_to(
+                        self.source_map[None], (bs, self.height, self.width, 2)
+                    ),
+                    jnp.asarray(fresh_sos),
+                )
+            )
+            k = keep[:, None, None, None]
+            src_np = np.asarray(batch.source)
+            self.buffer.append_batch(
+                batch.indices,
+                np.where(k, evolved["wavefield"], fresh["wavefield"]),
+                np.where(keep[:, None, None], evolved["states"], fresh["states"]),
+                np.where(keep[:, None, None], batch.k_sq, fresh["k_sq"]),
+                np.where(k, evolved["residual"], fresh["residual"]),
+                src_np,  # fresh restarts reuse the default source (same map)
+                np.where(keep, new_t, 0),
+            )
+            restarts += int((~keep).sum())
+            self.global_step += 1
+
+        epoch_loss = float(np.mean(losses))
+        lr = self.scheduler.step(epoch_loss)
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        stats = {
+            "epoch": self.epoch,
+            "train_loss_mean": epoch_loss,
+            "maxiter": maxiter,
+            "new_sos": restarts,
+            "lr": lr,
+            "epoch_time_s": time.time() - tic,
+            "global_step": self.global_step,
+        }
+        self._log(stats)
+        self.epoch += 1
+        return stats
+
+    # ------------------------------------------------------------------
+
+    def random_circle_location(self) -> tuple[int, int]:
+        """Random source on a circle (hybridnet.py:178-190)."""
+        theta = 2 * np.pi * self.rng.random()
+        L = self.height // 2
+        dL = L - self.cfg.geometry.pml_size - 2
+        return (int(L + dL * np.cos(theta)), int(L + dL * np.sin(theta)))
+
+    def validate(self, val_maps: np.ndarray, num_iterations=None, batch=8) -> dict:
+        """Full rollouts from random circle sources; terminal residual RMSE
+        (hybridnet.py:333-376)."""
+        s = self.cfg.source
+        iters = num_iterations or self.cfg.max_iterations
+        rmses = []
+        for start in range(0, len(val_maps), batch):
+            maps = val_maps[start : start + batch]
+            locs = [self.random_circle_location() for _ in range(len(maps))]
+            src = np.stack(
+                [
+                    point_source_map(
+                        self.height, self.width, loc, s.amplitude, s.phase,
+                        s.omega, 0.0, s.smoothing,
+                    )
+                    for loc in locs
+                ]
+            )
+            out = rollout(
+                self.params,
+                self.op,
+                jnp.asarray(src),
+                jnp.asarray(maps),
+                cfg=self.cfg,
+                num_iterations=iters,
+                collect=("rmse",),
+            )
+            final = np.asarray(out["rmse"])[-1]
+            rmses.append(np.where(np.isnan(final), np.inf, final))
+        val_loss = float(np.mean(np.concatenate(rmses)))
+        self._log({"epoch": self.epoch, "val_loss": val_loss})
+        return {"val_loss": val_loss}
+
+    def _log(self, record: dict):
+        if self._log_file:
+            self._log_file.write(json.dumps(record) + "\n")
+            self._log_file.flush()
+
+    # ------------------------------------------------------------------
+
+    def save(self, directory: str):
+        from .checkpoint import save_checkpoint
+
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+        }
+        save_checkpoint(directory, self.epoch, state)
+
+    def fit(
+        self,
+        train_maps: np.ndarray,
+        val_maps: Optional[np.ndarray] = None,
+        num_epochs: int = 1,
+        val_every: int = 2,
+        val_iterations: Optional[int] = None,
+        ckpt_dir: Optional[str] = None,
+    ):
+        if not np.any(self.buffer.k_sq):
+            self.fill_buffer(train_maps)
+        history = []
+        for _ in range(num_epochs):
+            stats = self.training_epoch(train_maps)
+            if val_maps is not None and self.epoch % val_every == 0:
+                stats.update(self.validate(val_maps, val_iterations))
+            if ckpt_dir:
+                self.save(ckpt_dir)
+            history.append(stats)
+        return history

@@ -1,0 +1,126 @@
+"""Training-loop tests: replay semantics, curriculum, plateau scheduler, and
+an end-to-end smoke run showing decreasing physics loss on a tiny config."""
+
+import numpy as np
+import pytest
+
+from helmnet_tpu.core.config import (
+    Config,
+    GeometryConfig,
+    ModelConfig,
+    SourceConfig,
+    TrainingConfig,
+)
+from helmnet_tpu.data.ellipses import make_dataset
+from helmnet_tpu.train.loop import PlateauScheduler, Trainer
+from helmnet_tpu.train.replay import ReplayBuffer
+
+
+def tiny_config():
+    return Config(
+        max_iterations=50,
+        geometry=GeometryConfig(domain_size=32, pml_size=4, sigma_max=2.0),
+        model=ModelConfig(features=8, depth=4, state_depth=4, state_channels=2),
+        source=SourceConfig(amplitude=10.0, location=(26, 16)),
+        training=TrainingConfig(
+            buffer_size=16,
+            train_batch_size=4,
+            unrolling_steps=3,
+            learning_rate=3e-3,
+            minimum_learning_rate=1e-4,
+        ),
+    )
+
+
+class TestReplayBuffer:
+    def test_slot_overwrite_and_sample(self):
+        buf = ReplayBuffer(8, 16, 16, 2, 340)
+        wf = np.random.randn(2, 16, 16, 2).astype(np.float32)
+        st = np.random.randn(2, 2, 340).astype(np.float32)
+        k = np.ones((2, 16, 16), np.float32)
+        buf.append_batch(np.array([3, 5]), wf, st, k, wf, wf, np.array([7, 9]))
+        # sample everything, find our slots
+        batch = buf.sample(8)
+        pos3 = list(batch.indices).index(3)
+        np.testing.assert_array_equal(batch.wavefield[pos3], wf[0])
+        assert batch.iteration[pos3] == 7
+        # overwrite slot 3
+        buf.append(3, wf[1], st[1], k[1], wf[1], wf[1], 42)
+        batch = buf.sample(8)
+        pos3 = list(batch.indices).index(3)
+        assert batch.iteration[pos3] == 42
+        np.testing.assert_array_equal(batch.wavefield[pos3], wf[1])
+
+    def test_sample_without_replacement(self):
+        buf = ReplayBuffer(8, 4, 4, 2, 20)
+        batch = buf.sample(8)
+        assert len(set(batch.indices.tolist())) == 8
+
+
+class TestScheduler:
+    def test_plateau_reduces_lr(self):
+        s = PlateauScheduler(1e-3, 0.5, patience=2, min_lr=1e-4)
+        assert s.step(1.0) == 1e-3  # improvement
+        for _ in range(2):
+            assert s.step(2.0) == 1e-3  # within patience
+        assert s.step(2.0) == 5e-4  # exceeded patience -> halved
+        for _ in range(10):
+            s.step(2.0)
+        assert s.lr == 1e-4  # floored at min_lr
+
+
+class TestDataset:
+    def test_ellipse_distribution(self):
+        maps = make_dataset(8, imsize=96, seed=0)
+        assert maps.shape == (8, 96, 96) and maps.dtype == np.float32
+        assert np.all(maps >= 1.0)
+        assert np.all(maps <= 2.0 + 1e-6)
+        # each map has background and at least some annulus pixels
+        for m in maps:
+            assert (m == 1.0).mean() > 0.5
+            assert (m > 1.4).sum() > 20
+
+    def test_split_and_save(self, tmp_path):
+        from helmnet_tpu.data.ellipses import load_maps, split_and_save
+
+        maps = make_dataset(20, imsize=32, seed=1)
+        out = split_and_save(maps, str(tmp_path), splits=(12, 4, 4))
+        train = load_maps(out["trainset"])
+        assert train.shape == (12, 32, 32)
+        val = load_maps(out["validation"])
+        test = load_maps(out["testset"])
+        assert len(val) == 4 and len(test) == 4
+
+
+class TestTrainerSmoke:
+    @pytest.fixture(scope="class")
+    def run(self):
+        cfg = tiny_config()
+        maps = make_dataset(16, imsize=32, seed=0)
+        trainer = Trainer(cfg, key=None)
+        history = trainer.fit(maps, num_epochs=8)
+        return trainer, history
+
+    def test_loss_decreases(self, run):
+        trainer, history = run
+        losses = [h["train_loss_mean"] for h in history]
+        assert np.isfinite(losses).all()
+        assert min(losses[1:]) < losses[0], losses
+
+    def test_curriculum_advances(self, run):
+        trainer, history = run
+        maxiters = [h["maxiter"] for h in history]
+        assert maxiters[0] == 1
+        assert maxiters[-1] > maxiters[0]
+
+    def test_buffer_ages_evolve(self, run):
+        trainer, _ = run
+        ages = trainer.buffer.iteration
+        assert ages.max() >= 1  # some experiences evolved
+        assert np.isfinite(trainer.buffer.wavefield).all()
+
+    def test_validation_runs(self, run):
+        trainer, _ = run
+        maps = make_dataset(4, imsize=32, seed=3)
+        out = trainer.validate(maps, num_iterations=10, batch=4)
+        assert np.isfinite(out["val_loss"])
