@@ -1,0 +1,121 @@
+"""Benchmark: learned Helmholtz solver throughput on the current device.
+
+Prints ONE JSON line:
+  {"metric": "solver_gridpoints_per_s_per_chip", "value": N, "unit": "...",
+   "vs_baseline": R}
+
+Workload matches bench_baseline.json (the reference torch implementation
+measured on this host's CPU — no reference-capable GPU exists here): 96^2
+grid, batch 32, 50 learned iterations, pretrained-checkpoint weights.
+vs_baseline = ours / reference. Extra workloads are written to
+BENCH_DETAILS.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from helmnet_tpu.core.config import Config
+    from helmnet_tpu.models import hybridnet
+    from helmnet_tpu.ops.source import point_source_map
+    from helmnet_tpu.ops.spectral import make_operator
+    from helmnet_tpu.solvers.iterative import rollout
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+
+    cfg = Config()
+    ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+    if os.path.exists(ckpt):
+        from helmnet_tpu.train.checkpoint import load_reference_checkpoint
+
+        params, cfg = load_reference_checkpoint(ckpt)
+    else:
+        params = hybridnet.init_params(jax.random.PRNGKey(0), cfg.model)
+
+    def bench_case(n, batch, iters, repeats=3):
+        op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max, cfg.k0)
+        s = cfg.source
+        loc = (min(s.location[0], n - 10), min(s.location[1], n - 10))
+        source = jnp.asarray(
+            np.broadcast_to(
+                point_source_map(n, n, loc, s.amplitude, s.phase, s.omega)[None],
+                (batch, n, n, 2),
+            )
+        )
+        sos = np.ones((batch, n, n), np.float32)
+        sos[:, : n // 2, : n // 2] = 1.5
+        sos = jnp.asarray(sos)
+
+        def run():
+            out = rollout(
+                params, op, source, sos, cfg=cfg, num_iterations=iters,
+                collect=("rmse",),
+            )
+            # host fetch forces completion even on async remote runtimes
+            r = np.asarray(out["rmse"])
+            assert np.all(np.isfinite(r)), "non-finite rollout rmse"
+            return out
+
+        t0 = time.time()
+        run()
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+        dt = min(times)
+        return {
+            "grid": n,
+            "batch": batch,
+            "iterations": iters,
+            "seconds": dt,
+            "compile_seconds": compile_s,
+            "iterations_per_s": iters / dt,
+            "gridpoints_per_s": batch * n * n * iters / dt,
+        }
+
+    # primary: same config the baseline was measured at
+    primary = bench_case(96, 32, 50)
+
+    details = {"platform": platform, "device": str(dev), "primary": primary}
+    try:
+        details["large_batch_96"] = bench_case(96, 256, 50)
+        details["grid_256"] = bench_case(256, 16, 50)
+        details["grid_512"] = bench_case(512, 4, 50)
+    except Exception as e:  # keep the primary result even if extras fail
+        details["extras_error"] = repr(e)
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        vs = primary["gridpoints_per_s"] / base["gridpoints_per_s"]
+        details["baseline"] = base
+
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "solver_gridpoints_per_s_per_chip",
+                "value": primary["gridpoints_per_s"],
+                "unit": "gridpoints/s (96^2 x batch32 x 50 learned iterations)",
+                "vs_baseline": vs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,10 @@ class SpectralPML(NamedTuple):
     """Precomputed operator arrays (a jax pytree, safe to pass through jit).
 
     Matmul mode uses the split re/im dense matrices; fft mode uses the 1D
-    spectral multipliers + complex PML coefficient vectors.
+    spectral multipliers + PML coefficient vectors. ALL fields are real f32
+    split re/im pairs — complex64 host<->device transfers are not supported
+    on every TPU runtime (notably the axon tunnel); complex values are
+    constructed on-device with lax.complex where needed.
     """
 
     # dense per-axis operators, split re/im, float32
@@ -81,12 +84,12 @@ class SpectralPML(NamedTuple):
     ay_i: jax.Array
     ax_r: jax.Array  # [W, W]
     ax_i: jax.Array
-    # fft-mode data (complex64)
-    ikx: jax.Array  # [W]
-    iky: jax.Array  # [H]
-    ax1d: jax.Array  # [W]
+    # fft-mode data: wavenumbers and split PML coefficient vectors, float32
+    kx: jax.Array  # [W]
+    ky: jax.Array  # [H]
+    ax1d: jax.Array  # [W, 2] (re, im)
     bx1d: jax.Array
-    ay1d: jax.Array  # [H]
+    ay1d: jax.Array  # [H, 2]
     by1d: jax.Array
     # network input channels [2, H, W] (sigma_x, sigma_y), float32
     sigmas: jax.Array
@@ -114,18 +117,18 @@ def make_operator(
     ax1d, bx1d = pml_coefficients_1d(width, pml_size, sigma_max, k0)
     ay1d, by1d = pml_coefficients_1d(height, pml_size, sigma_max, k0)
     sx, sy = sigma_maps(height, width, pml_size, sigma_max)
-    cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    pair = lambda c: jnp.asarray(np.stack([c.real, c.imag], -1), dtype)
     return SpectralPML(
         ay_r=jnp.asarray(Ay.real, dtype),
         ay_i=jnp.asarray(Ay.imag, dtype),
         ax_r=jnp.asarray(Ax.real, dtype),
         ax_i=jnp.asarray(Ax.imag, dtype),
-        ikx=jnp.asarray(1j * wavenumbers(width), cdtype),
-        iky=jnp.asarray(1j * wavenumbers(height), cdtype),
-        ax1d=jnp.asarray(ax1d, cdtype),
-        bx1d=jnp.asarray(bx1d, cdtype),
-        ay1d=jnp.asarray(ay1d, cdtype),
-        by1d=jnp.asarray(by1d, cdtype),
+        kx=jnp.asarray(wavenumbers(width), dtype),
+        ky=jnp.asarray(wavenumbers(height), dtype),
+        ax1d=pair(ax1d),
+        bx1d=pair(bx1d),
+        ay1d=pair(ay1d),
+        by1d=pair(by1d),
         sigmas=jnp.asarray(np.stack([sx, sy]), dtype),
     )
 
@@ -165,18 +168,22 @@ def laplacian_fft(op: SpectralPML, u: jax.Array) -> jax.Array:
 
     Uses only 1D transforms: fft_x, two ifft_x, fft_y, two ifft_y — six 1D
     passes vs ten for the reference's 2D formulation (spectral.py:31-79).
+    Complex values are built on-device (lax.complex) from the f32 tables.
     """
     uc = jax.lax.complex(u[..., 0], u[..., 1])
+    cplx = lambda p: jax.lax.complex(p[..., 0], p[..., 1])
     # x axis (last)
+    ikx = jax.lax.complex(jnp.zeros_like(op.kx), op.kx)
     fx = jnp.fft.fft(uc, axis=-1)
-    pair_x = jnp.stack([op.ikx * fx, (op.ikx**2) * fx])
+    pair_x = jnp.stack([ikx * fx, (ikx**2) * fx])
     dx, ddx = jnp.fft.ifft(pair_x, axis=-1)
-    lx = op.ax1d * dx + op.bx1d * ddx
+    lx = cplx(op.ax1d) * dx + cplx(op.bx1d) * ddx
     # y axis (second-to-last)
+    iky = jax.lax.complex(jnp.zeros_like(op.ky), op.ky)
     fy = jnp.fft.fft(uc, axis=-2)
-    pair_y = jnp.stack([op.iky[:, None] * fy, (op.iky**2)[:, None] * fy])
+    pair_y = jnp.stack([iky[:, None] * fy, (iky**2)[:, None] * fy])
     dy, ddy = jnp.fft.ifft(pair_y, axis=-2)
-    ly = op.ay1d[:, None] * dy + op.by1d[:, None] * ddy
+    ly = cplx(op.ay1d)[:, None] * dy + cplx(op.by1d)[:, None] * ddy
     out = lx + ly
     return jnp.stack([out.real, out.imag], axis=-1)
 

@@ -149,6 +149,7 @@ def solve_helmholtz(
     """Solve (L + k^2) u = s for one problem.
 
     k_sq: [H, W] real; source: [H, W, 2] channel pair (or [H, W] complex).
+    Returns channel-pair fields x/checkpoints of shape [..., H, W, 2].
     The reference drives MATLAB with `source amplitude 10` and tol 1e-10
     (support_functions.py:385-408); f32 stagnates near 1e-6 relative — use
     x64 on CPU for tighter tolerances.
@@ -158,8 +159,17 @@ def solve_helmholtz(
     else:
         b = source
     mv = make_helmholtz_matvec(op, k_sq, mode)
-    return gmres_restarted(
+    res = gmres_restarted(
         mv, b, restart=restart, max_restarts=max_restarts, tol=tol
+    )
+    # return channel-pair fields: complex host<->device transfers are not
+    # supported on all TPU runtimes
+    as_pair = lambda c: jnp.stack([c.real, c.imag], axis=-1)
+    return GMRESResult(
+        x=as_pair(res.x),
+        residual_norms=res.residual_norms,
+        checkpoints=as_pair(res.checkpoints),
+        iterations=res.iterations,
     )
 
 

@@ -29,7 +29,8 @@ class TestGMRES:
         M = assemble_dense(n, n, pml, 2.0, 1.0, k_sq=k_sq)
         b = (src[..., 0] + 1j * src[..., 1]).ravel()
         u_direct = np.linalg.solve(M, b).reshape(n, n)
-        got = np.asarray(res.x)
+        xp = np.asarray(res.x)
+        got = xp[..., 0] + 1j * xp[..., 1]
         scale = np.abs(u_direct).max()
         np.testing.assert_allclose(got, u_direct, atol=2e-3 * scale)
 
@@ -45,8 +46,9 @@ class TestGMRES:
             op, k_sq, src, restart=30, max_restarts=40, tol=1e-6
         )
         scale = np.abs(x_sp).max()
+        xp = np.asarray(res.x)
         np.testing.assert_allclose(
-            np.asarray(res.x).ravel(), x_sp, atol=5e-3 * scale
+            (xp[..., 0] + 1j * xp[..., 1]).ravel(), x_sp, atol=5e-3 * scale
         )
 
     def test_residual_norms_decrease_and_checkpoint(self):
@@ -81,7 +83,7 @@ class TestGMRES:
         res = gmres.solve_helmholtz_batch(
             op, k2, s2, restart=20, max_restarts=10, tol=1e-6
         )
-        assert res.x.shape == (2, n, n)
+        assert res.x.shape == (2, n, n, 2)
         rn = np.asarray(res.residual_norms)
         assert rn.shape == (2, 11)
         assert np.all(rn[:, -1] < rn[:, 0] * 1e-2)
@@ -116,7 +118,8 @@ class TestGMRES:
             solver.op, k_sq, np.asarray(solver.source[0]),
             restart=50, max_restarts=40, tol=1e-7,
         )
-        u_g = np.asarray(res.x)
+        xp = np.asarray(res.x)
+        u_g = xp[..., 0] + 1j * xp[..., 1]
         scale = np.abs(u_g).max()
         err = np.abs(u_model_c - u_g).max() / scale
         assert err < 0.05, f"learned vs GMRES relative l_inf {err}"

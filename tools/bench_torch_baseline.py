@@ -1,0 +1,122 @@
+"""Measure the REFERENCE implementation's solver throughput on this host's
+CPU (the only hardware here that can run it) and store it as the bench
+baseline. Run manually: python tools/bench_torch_baseline.py
+
+Writes bench_baseline.json {gridpoints_per_s, config...} used by bench.py's
+vs_baseline field.
+"""
+
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+import torch
+
+REFERENCE = "/root/reference"
+sys.path.insert(0, REFERENCE)
+
+# lightning/torchmetrics shims (same as make_golden_fixtures.py)
+for name, builder in (
+    ("pytorch_lightning", None),
+    ("torchmetrics", None),
+):
+    pass
+
+try:
+    import pytorch_lightning  # noqa: F401
+except ImportError:
+    m = types.ModuleType("pytorch_lightning")
+    u = types.ModuleType("pytorch_lightning.utilities")
+    p = types.ModuleType("pytorch_lightning.utilities.parsing")
+
+    class AttributeDict(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    p.AttributeDict = AttributeDict
+    m.utilities = u
+    u.parsing = p
+    m.LightningModule = torch.nn.Module
+    sys.modules["pytorch_lightning"] = m
+    sys.modules["pytorch_lightning.utilities"] = u
+    sys.modules["pytorch_lightning.utilities.parsing"] = p
+
+try:
+    import torchmetrics  # noqa: F401
+except ImportError:
+    tm = types.ModuleType("torchmetrics")
+    tr = types.ModuleType("torchmetrics.regression")
+
+    class MeanAbsoluteError(torch.nn.Module):
+        def forward(self, a, b):
+            return (a - b).abs().mean()
+
+    tr.MeanAbsoluteError = MeanAbsoluteError
+    tm.regression = tr
+    sys.modules["torchmetrics"] = tm
+    sys.modules["torchmetrics.regression"] = tr
+
+from helmnet.architectures import HybridNet  # noqa: E402
+from helmnet.spectral import FastLaplacianWithPML  # noqa: E402
+from helmnet.source_module import SourceModule  # noqa: E402
+
+N, PML, SMAX, K0, OMEGA = 96, 8, 2.0, 1.0, 1.0
+BATCH, ITERS = 32, 50
+
+torch.manual_seed(0)
+ckpt = torch.load(
+    os.path.join(REFERENCE, "trained_models/jcp_paper_trained_weights.ckpt"),
+    map_location="cpu", weights_only=False,
+)
+net = HybridNet("prelu", 4, N, 8, 6, 2, 4)
+net.load_state_dict({k[2:]: v for k, v in ckpt["state_dict"].items() if k.startswith("f.")})
+net.eval()
+lap = FastLaplacianWithPML(N, PML, K0, SMAX)
+sigx, sigy = lap.sigmas()
+sigmas = torch.stack([sigx, sigy]).float().unsqueeze(0).repeat(BATCH, 1, 1, 1)
+src = SourceModule(N, OMEGA, [82, 48], 10.0, 0.0, False).spatial_map(0).permute(0, 3, 1, 2)
+source = src.repeat(BATCH, 1, 1, 1)
+
+sos = torch.ones(BATCH, 1, N, N)
+sos[:, :, 40:64, 12:84] = 1.5
+k_sq = (OMEGA / sos) ** 2
+
+
+def residual(x):
+    lap_out = lap(x.permute(0, 2, 3, 1).contiguous()).permute(0, 3, 1, 2)
+    return lap_out + k_sq * x - source
+
+
+def run(iters):
+    wavefield = torch.zeros(BATCH, 2, N, N)
+    net.clear_states(wavefield)
+    res = residual(wavefield)
+    for _ in range(iters):
+        inp = torch.cat([wavefield, 1e3 * res, sigmas], dim=1)
+        d = net(inp)
+        wavefield = d / 1e3 + wavefield
+        res = residual(wavefield)
+    return wavefield
+
+
+with torch.no_grad():
+    run(3)  # warmup
+    t0 = time.time()
+    run(ITERS)
+    dt = time.time() - t0
+
+gps = BATCH * N * N * ITERS / dt
+out = {
+    "impl": "reference ucl-bug/helmnet (torch CPU, this host)",
+    "hardware": f"CPU x{os.cpu_count()}",
+    "config": {"grid": N, "batch": BATCH, "iterations": ITERS},
+    "seconds": dt,
+    "iterations_per_s": ITERS / dt,
+    "gridpoints_per_s": gps,
+}
+with open(os.path.join(os.path.dirname(__file__), "..", "bench_baseline.json"), "w") as f:
+    json.dump(out, f, indent=2)
+print(json.dumps(out, indent=2))
