@@ -18,8 +18,23 @@ from .activations import get_activation
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Precision policy: 'highest' (6-pass f32, bit-parity with the reference),
+# 'high' (3-pass), 'default' (1-pass bf16 inputs — fastest). The learned
+# iteration is self-correcting: network precision only affects convergence
+# speed, never the reported residual (the operator stays HIGHEST).
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
-def conv2d(params, x, *, stride: int = 1, padding: int = 0):
+
+def resolve_precision(name: str):
+    return _PRECISIONS[name]
+
+
+def conv2d(params, x, *, stride: int = 1, padding: int = 0,
+           precision: str = "highest"):
     """2D convolution, NHWC x HWIO -> NHWC, torch Conv2d semantics."""
     y = jax.lax.conv_general_dilated(
         x,
@@ -27,12 +42,13 @@ def conv2d(params, x, *, stride: int = 1, padding: int = 0):
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=resolve_precision(precision),
     )
     return y + params["b"]
 
 
-def conv_transpose2d(params, x, *, stride: int = 2, padding: int = 3):
+def conv_transpose2d(params, x, *, stride: int = 2, padding: int = 3,
+                     precision: str = "highest"):
     """Torch ConvTranspose2d(k, stride, padding, output_padding=0) semantics.
 
     Implemented as an input-dilated convolution: pad = k - 1 - padding, with
@@ -47,7 +63,7 @@ def conv_transpose2d(params, x, *, stride: int = 2, padding: int = 3):
         padding=((p, p), (p, p)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=resolve_precision(precision),
     )
     return y + params["b"]
 
@@ -110,13 +126,13 @@ def init_double_conv(key, cin: int, cout: int, activation: str, cmid=None):
     }
 
 
-def double_conv(params, x, activation: str):
+def double_conv(params, x, activation: str, precision: str = "highest"):
     _, act = get_activation(activation)
-    h = conv2d(params["c1"], x, padding=1)
+    h = conv2d(params["c1"], x, padding=1, precision=precision)
     h = act(params["act"], h)
-    return conv2d(params["c2"], h, padding=1)
+    return conv2d(params["c2"], h, padding=1, precision=precision)
 
 
-def res_double_conv(params, x, activation: str):
+def res_double_conv(params, x, activation: str, precision: str = "highest"):
     """DoubleConv with residual skip (reference ResDoubleConv)."""
-    return double_conv(params, x, activation) + x
+    return double_conv(params, x, activation, precision) + x

@@ -94,7 +94,8 @@ def apply(
 ) -> tuple[jax.Array, Tuple[jax.Array, ...]]:
     """Forward pass. x: [B, H, W, in_channels] NHWC. Returns (out[B,H,W,2], states')."""
     act = cfg.activation_function
-    x = double_conv(params["inc"], x, act)
+    prec = cfg.precision
+    x = double_conv(params["inc"], x, act, prec)
 
     inner_signals = []
     new_states = []
@@ -102,26 +103,27 @@ def apply(
         blk = params["enc"][d]
         if d < cfg.state_depth:
             x_and_state = jnp.concatenate([x, states[d]], axis=-1)
-            out = double_conv(blk["conv_signal"], x_and_state, act)
+            out = double_conv(blk["conv_signal"], x_and_state, act, prec)
             new_states.append(
                 double_conv(
                     blk["conv_state"],
                     jnp.concatenate([out, states[d]], axis=-1),
                     act,
+                    prec,
                 )
             )
         else:
-            out = double_conv(blk["conv_signal"], x, act)
+            out = double_conv(blk["conv_signal"], x, act, prec)
         inner_signals.append(out)
-        x = conv2d(blk["down"], out, stride=2, padding=3)
+        x = conv2d(blk["down"], out, stride=2, padding=3, precision=prec)
 
-    x = double_conv(params["decode"][-1], x, act)
+    x = double_conv(params["decode"][-1], x, act, prec)
     for d in range(cfg.depth - 1, -1, -1):
-        x = conv_transpose2d(params["up"][d], x, stride=2, padding=3)
+        x = conv_transpose2d(params["up"][d], x, stride=2, padding=3, precision=prec)
         x = jnp.concatenate([x, inner_signals[d]], axis=-1)
-        x = double_conv(params["decode"][d], x, act)
+        x = double_conv(params["decode"][d], x, act, prec)
 
-    out = conv2d(params["outc"], x)
+    out = conv2d(params["outc"], x, precision=prec)
     return out, tuple(new_states)
 
 

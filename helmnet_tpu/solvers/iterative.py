@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core.config import Config
 from ..models import hybridnet
+from ..models.registry import get_architecture
 from ..ops.source import point_source_map
 from ..ops.spectral import SpectralPML, helmholtz_residual, make_operator
 
@@ -64,9 +65,10 @@ def single_step(
     cfg: Config,
 ) -> SolverCarry:
     """One learned update: wf' = wf + f(...)/1e3; r' = L wf' + k^2 wf' - s."""
+    arch = get_architecture(cfg.model.architecture)
     sigmas_hwc = jnp.transpose(op.sigmas, (1, 2, 0))  # [H, W, 2]
     net_in = network_input(carry.wavefield, carry.residual, sigmas_hwc)
-    d, new_states = hybridnet.apply(params, net_in, carry.states, cfg=cfg.model)
+    d, new_states = arch.apply(params, net_in, carry.states, cfg=cfg.model)
     wavefield = d / RESIDUAL_SCALE + carry.wavefield
     residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
     return SolverCarry(wavefield, residual, new_states)
@@ -102,7 +104,7 @@ def rollout(
     if num_iterations % decimate != 0:
         raise ValueError("num_iterations must be divisible by decimate")
     k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
-    states = hybridnet.init_states(
+    states = get_architecture(cfg.model.architecture).init_states(
         sos_maps.shape[0], sos_maps.shape[1], cfg.model, sos_maps.dtype
     )
     residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
@@ -124,7 +126,9 @@ def rollout(
         if "residuals" in collect:
             ys["residuals"] = carry.residual
         if "states" in collect:
-            ys["states"] = hybridnet.flatten_states(carry.states)
+            ys["states"] = get_architecture(
+                cfg.model.architecture
+            ).flatten_states(carry.states)
         return carry, ys
 
     carry, ys = jax.lax.scan(
@@ -158,12 +162,14 @@ def n_steps(
     (reference n_steps, hybridnet.py:586-623). Returns (final_carry, ys) with
     ys stacking per-step wavefields/residuals/flat states [T, B, ...]."""
 
+    arch = get_architecture(cfg.model.architecture)
+
     def body(carry, _):
         carry = single_step(params, op, source, k_sq, carry, cfg=cfg)
         ys = {
             "wavefields": carry.wavefield,
             "residuals": carry.residual,
-            "states": hybridnet.flatten_states(carry.states),
+            "states": arch.flatten_states(carry.states),
         }
         return carry, ys
 
@@ -181,7 +187,8 @@ class IterativeSolver:
         self.cfg = config
         if params is None:
             key = key if key is not None else jax.random.PRNGKey(0)
-            params = hybridnet.init_params(key, config.model)
+            arch = get_architecture(config.model.architecture)
+            params = arch.init_params(key, config.model)
         self.params = params
         self._op_cache: dict = {}
         self.set_domain_size(config.geometry.domain_size)
@@ -293,3 +300,80 @@ class IterativeSolver:
 
         params, ckpt_cfg = load_reference_checkpoint(path)
         return cls(config or ckpt_cfg, params=params)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_iterations", "collect", "decimate")
+)
+def rollout_variable_source(
+    params,
+    op: SpectralPML,
+    sources: jax.Array,
+    switch_iterations: jax.Array,
+    sos_maps: jax.Array,
+    *,
+    cfg: Config,
+    num_iterations: int,
+    collect: tuple = ("rmse",),
+    decimate: int = 1,
+):
+    """Rollout with the source map changing over iterations (reference
+    forward_variable_src, hybridnet.py:699-754).
+
+    sources: [K, B, H, W, 2] stacked source maps; switch_iterations: [K]
+    ascending iteration indices at which each source becomes active
+    (switch_iterations[0] should be 0). At a switch, the residual is
+    recomputed against the new source before stepping, matching the
+    reference semantics.
+    """
+    if num_iterations % decimate != 0:
+        raise ValueError("num_iterations must be divisible by decimate")
+    k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
+    states = get_architecture(cfg.model.architecture).init_states(
+        sos_maps.shape[0], sos_maps.shape[1], cfg.model, sos_maps.dtype
+    )
+
+    def source_at(it):
+        idx = jnp.sum(switch_iterations <= it) - 1
+        return jax.lax.dynamic_index_in_dim(sources, idx, 0, keepdims=False)
+
+    residual = helmholtz_residual(
+        op, wavefield, k_sq, source_at(0), cfg.operator_mode
+    )
+    carry = SolverCarry(wavefield, residual, states)
+
+    def inner_body(carry, it):
+        src = source_at(it)
+        # recompute residual on source switches (hybridnet.py:729-733)
+        switched = jnp.any(switch_iterations == it) & (it > 0)
+        residual = jnp.where(
+            switched,
+            helmholtz_residual(op, carry.wavefield, k_sq, src, cfg.operator_mode),
+            carry.residual,
+        )
+        carry = single_step(
+            params, op, src, k_sq,
+            SolverCarry(carry.wavefield, residual, carry.states), cfg=cfg,
+        )
+        ys = {}
+        if "rmse" in collect:
+            ys["rmse"] = residual_rmse(carry.residual)
+        return carry, ys
+
+    def outer_body(carry_chunk, chunk):
+        its = chunk * decimate + jnp.arange(decimate)
+        carry, inner_ys = jax.lax.scan(inner_body, carry_chunk, its)
+        ys = dict(inner_ys)
+        if "wavefields" in collect:
+            ys["wavefields"] = carry.wavefield
+        return carry, ys
+
+    carry, ys = jax.lax.scan(
+        outer_body, carry, jnp.arange(num_iterations // decimate)
+    )
+    out = {"wavefield": carry.wavefield, "residual": carry.residual}
+    if "rmse" in ys:
+        r = ys.pop("rmse")
+        out["rmse"] = r.reshape(num_iterations, *r.shape[2:])
+    out.update(ys)
+    return out

@@ -32,6 +32,7 @@ import optax
 from ..core.config import Config
 from ..core.meshes import shard_batch
 from ..models import hybridnet
+from ..models.registry import get_architecture
 from ..ops.source import point_source_map
 from ..ops.spectral import helmholtz_residual, make_operator
 from ..solvers.iterative import (
@@ -94,8 +95,9 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         key = key if key is not None else jax.random.PRNGKey(0)
+        self.arch = get_architecture(cfg.model.architecture)
         self.params = (
-            params if params is not None else hybridnet.init_params(key, cfg.model)
+            params if params is not None else self.arch.init_params(key, cfg.model)
         )
         g = cfg.geometry
         self.height = self.width = g.domain_size
@@ -116,7 +118,7 @@ class Trainer:
             self.height,
             self.width,
             cfg.model.state_channels,
-            hybridnet.total_state_length(self.height, cfg.model),
+            self.arch.total_state_length(self.height, cfg.model),
         )
         self.rng = np.random.default_rng(0)
         self.scheduler = PlateauScheduler(
@@ -138,6 +140,7 @@ class Trainer:
 
     def _build_jitted_fns(self):
         cfg = self.cfg
+        arch = self.arch
         optimizer = self.optimizer
         num_steps = cfg.training.unrolling_steps
 
@@ -146,7 +149,7 @@ class Trainer:
                 carry = SolverCarry(
                     batch.wavefield,
                     batch.residual,
-                    hybridnet.unflatten_states(
+                    arch.unflatten_states(
                         batch.states, batch.wavefield.shape[1], cfg.model
                     ),
                 )
@@ -189,7 +192,7 @@ class Trainer:
             """Fresh iteration-0 experiences (train_dataloader fill logic,
             hybridnet.py:199-218)."""
             k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
-            states = hybridnet.init_states(
+            states = arch.init_states(
                 sos_maps.shape[0], sos_maps.shape[1], cfg.model
             )
             residual = helmholtz_residual(
@@ -197,7 +200,7 @@ class Trainer:
             )
             return {
                 "wavefield": wavefield,
-                "states": hybridnet.flatten_states(states),
+                "states": arch.flatten_states(states),
                 "k_sq": k_sq,
                 "residual": residual,
             }

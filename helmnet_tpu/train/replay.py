@@ -68,12 +68,14 @@ class ReplayBuffer:
     def sample(self, batch_size: int) -> ExperienceBatch:
         batch_size = min(batch_size, self.capacity)
         idx = self._rng.choice(self.capacity, batch_size, replace=False)
+        from ..core.native import gather_rows
+
         return ExperienceBatch(
-            wavefield=self.wavefield[idx],
-            states=self.states[idx],
-            k_sq=self.k_sq[idx],
-            residual=self.residual[idx],
-            source=self.source[idx],
+            wavefield=gather_rows(self.wavefield, idx),
+            states=gather_rows(self.states, idx),
+            k_sq=gather_rows(self.k_sq, idx),
+            residual=gather_rows(self.residual, idx),
+            source=gather_rows(self.source, idx),
             iteration=self.iteration[idx],
             indices=idx,
         )

@@ -28,7 +28,11 @@ def nchw_to_nhwc(a):
 def ckpt():
     if not os.path.exists(REFERENCE_CKPT):
         pytest.skip("reference checkpoint not available")
-    return load_reference_checkpoint(REFERENCE_CKPT)
+    params, cfg = load_reference_checkpoint(REFERENCE_CKPT)
+    # bit-parity tests run at full f32 precision
+    cfg = cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "precision": "highest"}))
+    return params, cfg
 
 
 class TestLaplacianParity:
