@@ -2,11 +2,89 @@
 
 Built from scratch against the capabilities of ucl-bug/helmnet (JCP 2021):
 an unsupervised, fully-learned iterative solver for the heterogeneous 2D
-Helmholtz equation with PML, plus classical GMRES baselines — redesigned for
-TPU (JAX/XLA/Pallas): functional pytree models, lax.scan rollouts, dense
-MXU formulations of the spectral operator, and mesh-sharded training.
+Helmholtz equation with PML, plus first-class classical baselines (restarted
+GMRES, pseudospectral time-domain) — redesigned for TPU (JAX/XLA/Pallas):
+functional pytree models, lax.scan rollouts, MXU matmul formulations of the
+spectral operator, Pallas stencil kernels, and mesh-sharded training.
+
+Public API mirrors the reference package surface (helmnet/__init__.py) plus
+the new first-class components.
 """
 
 __version__ = "0.1.0"
 
-from .core.config import Config, load_settings  # noqa: F401
+from .core.config import (  # noqa: F401
+    Config,
+    GeometryConfig,
+    MediumConfig,
+    ModelConfig,
+    ParallelConfig,
+    SourceConfig,
+    TrainingConfig,
+    load_settings,
+)
+from .core.meshes import make_mesh  # noqa: F401
+from .data.ellipses import make_dataset as make_ellipses_dataset  # noqa: F401
+from .models import hybridnet, resnet  # noqa: F401
+from .models.activations import get_activation  # noqa: F401
+from .models.blocks import conv2d, conv_transpose2d, double_conv  # noqa: F401
+from .models.convgru import convgru, init_convgru  # noqa: F401
+from .models.registry import get_architecture  # noqa: F401
+from .ops.source import point_source_map, source_batch_from_locations  # noqa: F401
+from .ops.spectral import (  # noqa: F401
+    SpectralPML,
+    helmholtz_residual,
+    laplacian,
+    make_operator,
+)
+from .ops.stencil import (  # noqa: F401
+    StencilPML,
+    helmholtz_residual_stencil,
+    make_stencil_operator,
+)
+from .solvers.gmres import solve_helmholtz, solve_helmholtz_batch  # noqa: F401
+from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
+from .solvers.timedomain import solve_cw  # noqa: F401
+from .train.checkpoint import load_reference_checkpoint  # noqa: F401
+from .train.loop import Trainer  # noqa: F401
+from .train.replay import ExperienceBatch, ReplayBuffer  # noqa: F401
+
+__all__ = [
+    "Config",
+    "GeometryConfig",
+    "MediumConfig",
+    "ModelConfig",
+    "ParallelConfig",
+    "SourceConfig",
+    "TrainingConfig",
+    "load_settings",
+    "make_mesh",
+    "make_ellipses_dataset",
+    "hybridnet",
+    "resnet",
+    "get_activation",
+    "get_architecture",
+    "conv2d",
+    "conv_transpose2d",
+    "double_conv",
+    "convgru",
+    "init_convgru",
+    "point_source_map",
+    "source_batch_from_locations",
+    "SpectralPML",
+    "StencilPML",
+    "laplacian",
+    "helmholtz_residual",
+    "helmholtz_residual_stencil",
+    "make_operator",
+    "make_stencil_operator",
+    "solve_helmholtz",
+    "solve_helmholtz_batch",
+    "solve_cw",
+    "IterativeSolver",
+    "rollout",
+    "Trainer",
+    "ReplayBuffer",
+    "ExperienceBatch",
+    "load_reference_checkpoint",
+]

@@ -1,0 +1,131 @@
+"""Paper-figure reproduction (reference produce_figures.py).
+
+Each `fig_*` renders one figure family from framework artifacts (ours, not
+the reference's cached .mat/.npy). The CLI driver is cli/produce_figures.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import plots
+from .harness import SolverComparison, compare_solvers, normalize_wavefield
+
+
+def _save(fig, out_dir, name):
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, name)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt = plots._plt()
+    plt.close(fig)
+    return path
+
+
+def fig_residual_rmse(rmse: np.ndarray, out_dir: str = "figures"):
+    """Test-set residual-RMSE trajectories (produce_figures.py:118-148):
+    median + decile band over samples vs iteration."""
+    plt = plots._plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    iters = np.arange(1, rmse.shape[1] + 1)
+    med = np.median(rmse, 0)
+    lo, hi = np.quantile(rmse, 0.1, 0), np.quantile(rmse, 0.9, 0)
+    ax.fill_between(iters, lo, hi, alpha=0.25, label="10-90 percentile")
+    ax.semilogy(iters, med, label="median")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("residual RMSE")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    return _save(fig, out_dir, "residual_rmse_testset.png")
+
+def fig_testset_mosaic(
+    wavefields: np.ndarray, rows: int = 4, cols: int = 5,
+    out_dir: str = "figures",
+):
+    """Mosaic of final wavefields over test samples
+    (produce_figures.py testset mosaic)."""
+    plt = plots._plt()
+    fig, axes = plt.subplots(rows, cols, figsize=(2.2 * cols, 2.2 * rows))
+    for i, ax in enumerate(np.ravel(axes)):
+        ax.axis("off")
+        if i < len(wavefields):
+            plots.show_wavefield(wavefields[i], ax=ax, colorbar=False)
+    return _save(fig, out_dir, "testset_mosaic.png")
+
+
+def fig_error_histograms(linf_errors: np.ndarray, out_dir: str = "figures"):
+    """Histogram of final l_inf errors vs the classical solver
+    (produce_figures.py:181-196: log-binned 0.01%..100%)."""
+    plt = plots._plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    bins = np.logspace(-4, 0, 40)
+    ax.hist(np.clip(linf_errors, 1e-4, 1.0), bins=bins)
+    ax.set_xscale("log")
+    ax.set_xlabel(r"$\ell_\infty$ error vs GMRES (fraction)")
+    ax.set_ylabel("samples")
+    ax.grid(True, alpha=0.3)
+    return _save(fig, out_dir, "linf_histogram.png")
+
+
+def fig_example(cmp: SolverComparison, sos: np.ndarray, out_dir="figures",
+                name="example.png"):
+    """Single-problem comparison (fig_generic figure,
+    support_functions.py:493-512): sos map, learned field, GMRES field,
+    error map, and the convergence traces."""
+    plt = plots._plt()
+    fig, axes = plt.subplots(2, 3, figsize=(14, 8))
+    ax = axes[0, 0]
+    im = ax.imshow(sos, cmap="viridis")
+    fig.colorbar(im, ax=ax)
+    ax.set_title("speed of sound")
+    plots.show_wavefield(cmp.model_wavefield, ax=axes[0, 1],
+                         title="learned solver Re(u)")
+    plots.show_wavefield(cmp.gmres_wavefield, ax=axes[0, 2],
+                         title="GMRES Re(u)")
+    ax = axes[1, 0]
+    err = np.abs(cmp.model_wavefield - cmp.gmres_wavefield)
+    im = ax.imshow(err, cmap="magma")
+    fig.colorbar(im, ax=ax)
+    ax.set_title(f"|difference| (l_inf {cmp.linf:.2e})")
+    plots.plot_residual_traces(
+        {"learned solver": cmp.model_residual_rmse}, ax=axes[1, 1],
+        title="physics residual",
+    )
+    plots.plot_residual_traces(
+        {
+            "model vs GMRES": cmp.model_linf_trace,
+            "GMRES residual (per restart)": cmp.gmres_residual_norms
+            / max(cmp.gmres_residual_norms[0], 1e-30),
+        },
+        ax=axes[1, 2],
+        ylabel="relative error",
+        title="convergence",
+    )
+    return _save(fig, out_dir, name)
+
+
+def fig_large_example(solver, out_dir="figures", size: int = 512,
+                      iterations: int = 2000):
+    """Large-domain inference (produce_figures.py:426-443 runs 512^2 as a
+    5x5 patch mosaic of 96^2 tiles; the TPU framework just runs the full
+    512^2 grid directly)."""
+    rng = np.random.default_rng(0)
+    sos = np.ones((size, size), np.float32)
+    # a few random slabs/lenses
+    for _ in range(4):
+        r0, c0 = rng.integers(size // 8, size - size // 4, 2)
+        h, w = rng.integers(size // 16, size // 4, 2)
+        sos[r0 : r0 + h, c0 : c0 + w] = 1.0 + 0.5 * rng.random() + 0.25
+    solver.set_domain_size(size, source_location=(size - 40, size // 2))
+    out = solver.forward(sos, num_iterations=iterations)
+    wf = np.asarray(out["wavefield"])[0]
+    rmse = np.asarray(out["rmse"])[:, 0]
+    plt = plots._plt()
+    fig, axes = plt.subplots(1, 3, figsize=(16, 5))
+    im = axes[0].imshow(sos, cmap="viridis")
+    fig.colorbar(im, ax=axes[0])
+    axes[0].set_title("speed of sound")
+    plots.show_wavefield(wf, ax=axes[1], title=f"Re(u) after {iterations} iters")
+    plots.plot_residual_traces({"residual": rmse}, ax=axes[2])
+    return _save(fig, out_dir, f"large_example_{size}.png")

@@ -131,10 +131,24 @@ class Trainer:
         self.global_step = 0
         self.log_dir = log_dir
         self._log_file = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._log_file = open(os.path.join(log_dir, "train_log.jsonl"), "a")
+            self._tb = self._make_tb_writer(log_dir)
+        self.terminate_on_nan = True  # reference train.py --terminate_on_nan
         self._build_jitted_fns()
+
+    @staticmethod
+    def _make_tb_writer(log_dir):
+        """TensorBoard logging (reference TensorBoardLogger, train.py:88);
+        optional — uses torch's pure-python summary writer if available."""
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(os.path.join(log_dir, "tb"))
+        except Exception:
+            return None
 
     # ------------------------------------------------------------------
 
@@ -297,6 +311,10 @@ class Trainer:
             self.global_step += 1
 
         epoch_loss = float(np.mean(losses))
+        if self.terminate_on_nan and not np.isfinite(epoch_loss):
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {self.epoch}: {losses}"
+            )
         lr = self.scheduler.step(epoch_loss)
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
         stats = {
@@ -309,6 +327,9 @@ class Trainer:
             "global_step": self.global_step,
         }
         self._log(stats)
+        if self._tb is not None:
+            for k in ("train_loss_mean", "maxiter", "new_sos", "lr"):
+                self._tb.add_scalar(f"train/{k}", stats[k], self.global_step)
         self.epoch += 1
         return stats
 
@@ -352,6 +373,15 @@ class Trainer:
             rmses.append(np.where(np.isnan(final), np.inf, final))
         val_loss = float(np.mean(np.concatenate(rmses)))
         self._log({"epoch": self.epoch, "val_loss": val_loss})
+        if self._tb is not None:
+            self._tb.add_scalar("val/val_loss", val_loss, self.global_step)
+            # wavefield images (reference log_wavefield, hybridnet.py:507-520)
+            wf = np.asarray(out["wavefield"])[0]
+            img = (np.clip(wf, -1, 1) + 1) / 2
+            self._tb.add_image("wavefield/val_real", img[None, :, :, 0],
+                               self.global_step)
+            self._tb.add_image("wavefield/val_imag", img[None, :, :, 1],
+                               self.global_step)
         return {"val_loss": val_loss}
 
     def _log(self, record: dict):
@@ -372,6 +402,27 @@ class Trainer:
         }
         save_checkpoint(directory, self.epoch, state)
 
+    def restore(self, directory: str) -> bool:
+        """Resume from the latest orbax checkpoint in `directory`
+        (the reference's resume-from-last.ckpt story, README.md:31)."""
+        from .checkpoint import latest_step, restore_checkpoint
+
+        step = latest_step(directory)
+        if step is None:
+            return False
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "epoch": 0,
+            "global_step": 0,
+        }
+        state = restore_checkpoint(directory, step, template)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.epoch = int(state["epoch"])
+        self.global_step = int(state["global_step"])
+        return True
+
     def fit(
         self,
         train_maps: np.ndarray,
@@ -381,6 +432,8 @@ class Trainer:
         val_iterations: Optional[int] = None,
         ckpt_dir: Optional[str] = None,
     ):
+        if ckpt_dir:
+            self.restore(ckpt_dir)
         if not np.any(self.buffer.k_sq):
             self.fill_buffer(train_maps)
         history = []
