@@ -101,3 +101,38 @@ class TestShardedStencil:
         )
         got = jax.jit(lambda v: spectral.laplacian(op, v))(u_s)
         np.testing.assert_allclose(np.asarray(got), expected, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestDistributedFFT:
+    def test_sharded_fft_laplacian_matches(self):
+        from helmnet_tpu.distributed.dfft import (
+            make_sharded_laplacian_fft,
+            make_sharded_residual_fft,
+        )
+
+        mesh = make_mesh(ParallelConfig(data=2, y=4, x=1))
+        n = 64
+        op = spectral.make_operator(n, n, 8, 2.0, 1.0)
+        rng = np.random.default_rng(5)
+        u = rng.standard_normal((4, n, n, 2)).astype(np.float32)
+        expected = np.asarray(spectral.laplacian(op, u, "fft"))
+
+        lap = make_sharded_laplacian_fft(mesh, op)
+        u_s = jax.device_put(
+            jnp.asarray(u), NamedSharding(mesh, P("data", "y", None, None))
+        )
+        got = np.asarray(lap(u_s))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+        # residual form
+        k_sq = rng.uniform(0.5, 1.2, (4, n, n)).astype(np.float32)
+        src = rng.standard_normal((4, n, n, 2)).astype(np.float32)
+        res = make_sharded_residual_fft(mesh, op)
+        got_r = np.asarray(res(
+            u_s,
+            jax.device_put(jnp.asarray(k_sq), NamedSharding(mesh, P("data", "y", None))),
+            jax.device_put(jnp.asarray(src), NamedSharding(mesh, P("data", "y", None, None))),
+        ))
+        exp_r = expected + k_sq[..., None] * u - src
+        np.testing.assert_allclose(got_r, exp_r, atol=2e-4)
