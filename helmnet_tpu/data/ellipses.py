@@ -128,3 +128,22 @@ def load_maps(path: str) -> np.ndarray:
     """Load a dataset split -> float32 [N, H, W]."""
     with np.load(path) as f:
         return f["maps"].astype(np.float32)
+
+
+def get_dataset(dataset_path: str) -> np.ndarray:
+    """Reference-compatible dataset loader (helmnet/dataloaders.py:9-24).
+
+    Accepts our .npz splits or the reference's pickled torch datasets
+    (.ph, loaded via torch with device remap) -> float32 [N, H, W].
+    """
+    if dataset_path.endswith(".npz"):
+        return load_maps(dataset_path)
+    import torch
+
+    ds = torch.load(
+        dataset_path, map_location="cpu", weights_only=False
+    )
+    maps = [np.asarray(ds[i], np.float32) for i in range(len(ds))]
+    arr = np.stack(maps)
+    # reference maps are [1, H, W] per item
+    return arr[:, 0] if arr.ndim == 4 else arr

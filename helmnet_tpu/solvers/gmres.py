@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.spectral import SpectralPML, laplacian
+from ..ops.stencil import StencilPML, laplacian_stencil
 
 
 class GMRESResult(NamedTuple):
@@ -121,12 +122,19 @@ def gmres_restarted(
 # ---------------------------------------------------------------------------
 
 
-def make_helmholtz_matvec(op: SpectralPML, k_sq: jax.Array, mode: str = "matmul"):
-    """Complex matvec u -> L u + k^2 u on [H, W] complex grids."""
+def make_helmholtz_matvec(op, k_sq: jax.Array, mode: str = "matmul"):
+    """Complex matvec u -> L u + k^2 u on [H, W] complex grids.
+
+    `op` may be the spectral operator (SpectralPML; `mode` selects
+    matmul/fft) or the FD stencil operator (StencilPML) — the latter gives
+    GMRES on the sparse 9-point system (the matrix-explicit MATLAB path)."""
 
     def mv(u: jax.Array) -> jax.Array:
         pair = jnp.stack([u.real, u.imag], axis=-1)[None]
-        lap = laplacian(op, pair, mode)[0]
+        if isinstance(op, StencilPML):
+            lap = laplacian_stencil(op, pair)[0]
+        else:
+            lap = laplacian(op, pair, mode)[0]
         lap_c = jax.lax.complex(lap[..., 0], lap[..., 1])
         return lap_c + k_sq.astype(u.real.dtype) * u
 
@@ -137,7 +145,7 @@ def make_helmholtz_matvec(op: SpectralPML, k_sq: jax.Array, mode: str = "matmul"
     jax.jit, static_argnames=("mode", "restart", "max_restarts", "tol")
 )
 def solve_helmholtz(
-    op: SpectralPML,
+    op,
     k_sq: jax.Array,
     source: jax.Array,
     *,
@@ -174,7 +182,7 @@ def solve_helmholtz(
 
 
 def solve_helmholtz_batch(
-    op: SpectralPML,
+    op,
     k_sq_batch: jax.Array,
     source_batch: jax.Array,
     **kw,

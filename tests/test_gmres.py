@@ -123,3 +123,31 @@ class TestGMRES:
         scale = np.abs(u_g).max()
         err = np.abs(u_model_c - u_g).max() / scale
         assert err < 0.05, f"learned vs GMRES relative l_inf {err}"
+
+
+class TestGMRESStencilPath:
+    def test_gmres_on_stencil_operator(self):
+        """GMRES over the 9-point FD system (the sparse matrix-explicit
+        path) solves its own discrete system to high accuracy."""
+        import scipy.sparse.linalg as sspla
+
+        from helmnet_tpu.ops.pallas_stencil import stencil_to_csr
+        from helmnet_tpu.ops.stencil import make_stencil_operator
+
+        n, pml = 32, 4
+        sos = np.ones((n, n), np.float32)
+        sos[10:20, 8:26] = 1.5
+        k_sq = (1.0 / sos) ** 2
+        src = point_source_map(n, n, (n - 8, n // 2), 10.0)
+        st = make_stencil_operator(n, n, pml, 2.0, 1.0, order=4)
+        res = gmres.solve_helmholtz(
+            st, k_sq, src, restart=40, max_restarts=30, tol=1e-6
+        )
+        # cross-check against scipy spsolve on the explicit CSR matrix
+        M = stencil_to_csr(st, k_sq)
+        b = (src[..., 0] + 1j * src[..., 1]).ravel()
+        u_direct = sspla.spsolve(M.tocsc(), b).reshape(n, n)
+        xp = np.asarray(res.x)
+        got = xp[..., 0] + 1j * xp[..., 1]
+        scale = np.abs(u_direct).max()
+        np.testing.assert_allclose(got, u_direct, atol=5e-3 * scale)
