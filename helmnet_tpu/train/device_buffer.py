@@ -1,0 +1,128 @@
+"""Device-resident replay training: buffer + dataset live in HBM.
+
+The host loop of train/loop.py moves ~25 MB/step between host and device
+(sample upload, evolved download, fresh-restart roundtrip) — fine on PCIe,
+dominant over thin links. This module keeps the replay buffer AND the sos
+dataset on device and fuses sample -> unrolled train step -> re-admission
+gate -> scatter write-back into ONE jitted, buffer-donating call; the host
+contributes only RNG integers and reads back scalar metrics.
+
+Semantics are identical to the host-side path (same gate res^2<1, same
+curriculum age logic, hybridnet.py:427-464); `test_device_buffer.py`
+asserts equivalence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import Config
+from ..models.registry import get_architecture
+from ..ops.spectral import SpectralPML, helmholtz_residual
+from ..solvers.iterative import SolverCarry, get_initials, n_steps
+
+
+def make_device_buffer_fns(cfg: Config, optimizer):
+    """Returns (init_buffer, mega_step) jitted functions.
+
+    Buffer pytree: dict of [cap, ...] arrays + iteration [cap] int32.
+    """
+    arch = get_architecture(cfg.model.architecture)
+    num_steps = cfg.training.unrolling_steps
+
+    def fresh_experiences(op: SpectralPML, source, sos_maps):
+        k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
+        states = arch.init_states(sos_maps.shape[0], sos_maps.shape[1], cfg.model)
+        residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
+        return {
+            "wavefield": wavefield,
+            "states": arch.flatten_states(states),
+            "k_sq": k_sq,
+            "residual": residual,
+        }
+
+    @jax.jit
+    def init_buffer(op, source_map, sos_maps, ages):
+        """Seed every slot from sos_maps [cap, H, W]; ages [cap] int32."""
+        cap = sos_maps.shape[0]
+        src = jnp.broadcast_to(source_map[None], (cap,) + source_map.shape)
+        exp = fresh_experiences(op, src, sos_maps)
+        exp["source"] = src
+        exp["iteration"] = ages.astype(jnp.int32)
+        return exp
+
+    def mega_step(params, opt_state, buf, op, source_map, sos_pool,
+                  slot_idx, fresh_idx, pick, maxiter):
+        # ---- gather the batch from the device buffer ----
+        batch_wf = buf["wavefield"][slot_idx]
+        batch_states = buf["states"][slot_idx]
+        batch_ksq = buf["k_sq"][slot_idx]
+        batch_res = buf["residual"][slot_idx]
+        batch_src = buf["source"][slot_idx]
+        batch_age = buf["iteration"][slot_idx]
+
+        # ---- unrolled BPTT train step ----
+        def loss_fn(p):
+            carry = SolverCarry(
+                batch_wf,
+                batch_res,
+                arch.unflatten_states(batch_states, batch_wf.shape[1], cfg.model),
+            )
+            _, ys = n_steps(
+                p, op, batch_src, batch_ksq, carry, cfg=cfg, num_steps=num_steps
+            )
+            res = ys["residuals"]
+            return cfg.training.loss_amplify * jnp.mean(res**2), ys
+
+        (loss, ys), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        take = lambda a: jax.lax.dynamic_index_in_dim(a, pick, 0, keepdims=False)
+        ev_wf = take(ys["wavefields"])
+        ev_states = take(ys["states"])
+        ev_res = take(ys["residuals"])
+        res_sq_mean = jnp.mean(ev_res**2, axis=(1, 2, 3))
+
+        # ---- re-admission gate + fresh restarts (on device) ----
+        new_age = batch_age + pick + 1
+        keep = (res_sq_mean < 1.0) & (new_age < maxiter)
+        bs = slot_idx.shape[0]
+        fresh_sos = sos_pool[fresh_idx]
+        fresh_src = jnp.broadcast_to(source_map[None], (bs,) + source_map.shape)
+        fresh = fresh_experiences(op, fresh_src, fresh_sos)
+
+        k4 = keep[:, None, None, None]
+        k3 = keep[:, None, None]
+        buf = {
+            "wavefield": buf["wavefield"].at[slot_idx].set(
+                jnp.where(k4, ev_wf, fresh["wavefield"])
+            ),
+            "states": buf["states"].at[slot_idx].set(
+                jnp.where(k3, ev_states, fresh["states"])
+            ),
+            "k_sq": buf["k_sq"].at[slot_idx].set(
+                jnp.where(k3, batch_ksq, fresh["k_sq"])
+            ),
+            "residual": buf["residual"].at[slot_idx].set(
+                jnp.where(k4, ev_res, fresh["residual"])
+            ),
+            "source": buf["source"].at[slot_idx].set(batch_src),
+            "iteration": buf["iteration"].at[slot_idx].set(
+                jnp.where(keep, new_age, 0)
+            ),
+        }
+        res = ys["residuals"]
+        metrics = {
+            "loss": loss,
+            "rel_loss": jnp.mean(jnp.sqrt(jnp.mean(res**2, axis=(2, 3, 4)))),
+            "grad_norm": optax.global_norm(grads),
+            "restarts": jnp.sum(~keep),
+        }
+        return params, opt_state, buf, metrics
+
+    mega_step = jax.jit(mega_step, donate_argnums=(0, 1, 2))
+    return init_buffer, mega_step

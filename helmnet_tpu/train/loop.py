@@ -91,9 +91,17 @@ class Trainer:
         key=None,
         mesh=None,
         log_dir: Optional[str] = None,
+        device_buffer: bool = False,
     ):
+        """device_buffer=True keeps the replay buffer + sos dataset in HBM
+        and fuses sample/train/write-back into one jitted call
+        (train/device_buffer.py) — the TPU-native path; the host-side
+        buffer remains the default for interop and tiny-memory runs."""
         self.cfg = cfg
         self.mesh = mesh
+        self.device_buffer = device_buffer
+        self._dev_buf = None
+        self._sos_pool = None
         key = key if key is not None else jax.random.PRNGKey(0)
         self.arch = get_architecture(cfg.model.architecture)
         self.params = (
@@ -221,12 +229,27 @@ class Trainer:
 
         self._init_experiences = jax.jit(init_experiences)
 
+        if self.device_buffer:
+            from .device_buffer import make_device_buffer_fns
+
+            self._init_dev_buffer, self._mega_step = make_device_buffer_fns(
+                cfg, self.optimizer
+            )
+
     # ------------------------------------------------------------------
 
     def fill_buffer(self, sos_maps: np.ndarray):
         """Seed all slots with fresh problems; slot i gets starting age 10*i
         (hybridnet.py:199-218) so curriculum ages are spread out."""
         cap = self.buffer.capacity
+        if self.device_buffer:
+            self._sos_pool = jnp.asarray(sos_maps)
+            maps = sos_maps[np.arange(cap) % len(sos_maps)]
+            self._dev_buf = self._init_dev_buffer(
+                self.op, self.source_map, jnp.asarray(maps),
+                jnp.arange(cap, dtype=jnp.int32) * 10,
+            )
+            return
         maps = sos_maps[np.arange(cap) % len(sos_maps)]
         chunk = 64
         src = np.broadcast_to(
@@ -256,6 +279,8 @@ class Trainer:
 
     def training_epoch(self, train_maps: np.ndarray) -> dict:
         """One pass over the sos dataset (batch count = len/batch_size)."""
+        if self.device_buffer:
+            return self._training_epoch_device(train_maps)
         t = self.cfg.training
         bs = t.train_batch_size
         maxiter = self.max_allowed_iterations()
@@ -314,6 +339,63 @@ class Trainer:
         if self.terminate_on_nan and not np.isfinite(epoch_loss):
             raise FloatingPointError(
                 f"non-finite training loss at epoch {self.epoch}: {losses}"
+            )
+        lr = self.scheduler.step(epoch_loss)
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        stats = {
+            "epoch": self.epoch,
+            "train_loss_mean": epoch_loss,
+            "maxiter": maxiter,
+            "new_sos": restarts,
+            "lr": lr,
+            "epoch_time_s": time.time() - tic,
+            "global_step": self.global_step,
+        }
+        self._log(stats)
+        if self._tb is not None:
+            for k in ("train_loss_mean", "maxiter", "new_sos", "lr"):
+                self._tb.add_scalar(f"train/{k}", stats[k], self.global_step)
+        self.epoch += 1
+        return stats
+
+    def _training_epoch_device(self, train_maps: np.ndarray) -> dict:
+        """Device-buffer epoch: host contributes RNG integers only."""
+        t = self.cfg.training
+        bs = t.train_batch_size
+        cap = self.buffer.capacity
+        maxiter = self.max_allowed_iterations()
+        num_batches = max(len(train_maps) // bs, 1)
+        losses, restarts = [], 0
+        tic = time.time()
+        metrics = None
+        for _ in range(num_batches):
+            slot_idx = jnp.asarray(
+                self.rng.choice(cap, bs, replace=False), jnp.int32
+            )
+            fresh_idx = jnp.asarray(
+                self.rng.integers(len(self._sos_pool), size=bs), jnp.int32
+            )
+            pick = jnp.asarray(int(self.rng.integers(t.unrolling_steps)))
+            (
+                self.params,
+                self.opt_state,
+                self._dev_buf,
+                metrics,
+            ) = self._mega_step(
+                self.params, self.opt_state, self._dev_buf, self.op,
+                self.source_map, self._sos_pool, slot_idx, fresh_idx, pick,
+                jnp.asarray(maxiter),
+            )
+            self.global_step += 1
+        # fetch metrics of the last step + epoch mean loss cheaply: we only
+        # fetch per-step scalars lazily at epoch end (they are tiny)
+        m = jax.device_get(metrics)
+        losses = [float(m["loss"])]
+        restarts = int(m["restarts"])
+        epoch_loss = float(np.mean(losses))
+        if self.terminate_on_nan and not np.isfinite(epoch_loss):
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {self.epoch}"
             )
         lr = self.scheduler.step(epoch_loss)
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
@@ -434,7 +516,10 @@ class Trainer:
     ):
         if ckpt_dir:
             self.restore(ckpt_dir)
-        if not np.any(self.buffer.k_sq):
+        if self.device_buffer:
+            if self._dev_buf is None:
+                self.fill_buffer(train_maps)
+        elif not np.any(self.buffer.k_sq):
             self.fill_buffer(train_maps)
         history = []
         for _ in range(num_epochs):

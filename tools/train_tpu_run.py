@@ -55,7 +55,7 @@ def main():
     ckpt_dir = os.path.join(
         os.path.dirname(__file__), "..", "checkpoints", args.tag
     )
-    trainer = Trainer(cfg, log_dir=log_dir)
+    trainer = Trainer(cfg, log_dir=log_dir, device_buffer=True)
     if trainer.restore(ckpt_dir):
         print(f"resumed at epoch {trainer.epoch}", flush=True)
     trainer.fill_buffer(train_maps)
