@@ -124,10 +124,17 @@ def split_and_save(
     return out
 
 
-def load_maps(path: str) -> np.ndarray:
-    """Load a dataset split -> float32 [N, H, W]."""
+def load_maps(path: str, key: str = "maps") -> np.ndarray:
+    """Load a dataset split -> float32 [N, H, W]. Falls back to the first
+    3D array in the archive if `key` is absent."""
     with np.load(path) as f:
-        return f["maps"].astype(np.float32)
+        if key in f:
+            return f[key].astype(np.float32)
+        for name in f.files:
+            arr = f[name]
+            if arr.ndim == 3:
+                return arr.astype(np.float32)
+        raise KeyError(f"no 3D map array found in {path} (keys: {f.files})")
 
 
 def get_dataset(dataset_path: str) -> np.ndarray:

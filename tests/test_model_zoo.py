@@ -83,3 +83,23 @@ class TestVariableSource:
         assert np.isfinite(r).all()
         # at the switch the residual should jump (different source)
         assert abs(r[4] - r[3]) > 1e-6
+
+
+class TestResNetTraining:
+    def test_resnet_trains_end_to_end(self):
+        """The alternate architecture runs through the full training loop."""
+        from helmnet_tpu.data.ellipses import make_dataset
+        from helmnet_tpu.train.loop import Trainer
+
+        cfg = resnet_config()
+        cfg = cfg.replace(
+            training=cfg.training.__class__(
+                buffer_size=8, train_batch_size=4, unrolling_steps=2,
+                learning_rate=1e-3,
+            )
+        )
+        maps = make_dataset(8, 32, seed=0)
+        tr = Trainer(cfg)
+        tr.fill_buffer(maps)
+        stats = tr.training_epoch(maps)
+        assert np.isfinite(stats["train_loss_mean"])
