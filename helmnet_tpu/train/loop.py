@@ -365,9 +365,8 @@ class Trainer:
         cap = self.buffer.capacity
         maxiter = self.max_allowed_iterations()
         num_batches = max(len(train_maps) // bs, 1)
-        losses, restarts = [], 0
+        step_metrics = []  # device scalars, fetched lazily at epoch end
         tic = time.time()
-        metrics = None
         for _ in range(num_batches):
             slot_idx = jnp.asarray(
                 self.rng.choice(cap, bs, replace=False), jnp.int32
@@ -386,12 +385,11 @@ class Trainer:
                 self.source_map, self._sos_pool, slot_idx, fresh_idx, pick,
                 jnp.asarray(maxiter),
             )
+            step_metrics.append(metrics)
             self.global_step += 1
-        # fetch metrics of the last step + epoch mean loss cheaply: we only
-        # fetch per-step scalars lazily at epoch end (they are tiny)
-        m = jax.device_get(metrics)
-        losses = [float(m["loss"])]
-        restarts = int(m["restarts"])
+        fetched = jax.device_get(step_metrics)
+        losses = [float(m["loss"]) for m in fetched]
+        restarts = int(sum(int(m["restarts"]) for m in fetched))
         epoch_loss = float(np.mean(losses))
         if self.terminate_on_nan and not np.isfinite(epoch_loss):
             raise FloatingPointError(
