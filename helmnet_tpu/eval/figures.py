@@ -11,7 +11,7 @@ import os
 import numpy as np
 
 from . import plots
-from .harness import SolverComparison, compare_solvers, normalize_wavefield
+from .harness import SolverComparison
 
 
 def _save(fig, out_dir, name):

@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import ModelConfig
-from .activations import get_activation
 from .blocks import (
     conv2d,
     conv_transpose2d,

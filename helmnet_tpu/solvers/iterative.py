@@ -216,6 +216,12 @@ class IterativeSolver:
             height = width = domain_size
         else:
             height, width = domain_size
+        stride = 2 ** self.cfg.model.depth
+        if height % stride or width % stride:
+            raise ValueError(
+                f"domain size {height}x{width} must be divisible by "
+                f"2^depth = {stride} (UNet down/up path)"
+            )
         self.height, self.width = height, width
         self.cfg = self.cfg.replace(
             geometry=self.cfg.geometry.__class__(

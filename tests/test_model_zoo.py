@@ -103,3 +103,13 @@ class TestResNetTraining:
         tr.fill_buffer(maps)
         stats = tr.training_epoch(maps)
         assert np.isfinite(stats["train_loss_mean"])
+
+
+class TestInputValidation:
+    def test_bad_domain_size_rejected(self):
+        from helmnet_tpu.core.config import Config
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+
+        solver = IterativeSolver(Config())
+        with pytest.raises(ValueError, match="divisible"):
+            solver.set_domain_size(100)
