@@ -44,6 +44,13 @@ def main(argv=None):
         print("no testset given/found - generating ellipse maps")
         maps = make_dataset(args.num_samples, solver.height, seed=123)
 
+    def divisor_near(n, target):
+        target = max(min(target, n), 1)
+        for d in range(target, 0, -1):
+            if n % d == 0:
+                return d
+        return 1
+
     print(f"rollouts on {len(maps)} maps ...")
     out = solver.forward(
         maps, num_iterations=args.iterations, collect=("rmse", "wavefields"),
@@ -59,7 +66,7 @@ def main(argv=None):
     for i in range(len(maps)):
         cmp = compare_solvers(
             solver, maps[i], num_iterations=args.iterations,
-            decimate=args.iterations // 10,
+            decimate=divisor_near(args.iterations, args.iterations // 10),
             gmres_restart=50, gmres_max_restarts=20, gmres_tol=1e-7,
         )
         linfs.append(cmp.linf)

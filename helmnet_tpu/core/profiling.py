@@ -29,19 +29,33 @@ def trace(log_dir: str):
 
 
 class Timer:
-    """Wall-clock timer that blocks on device work: `with Timer() as t: ...`."""
+    """Wall-clock section timer for device work.
+
+    Register the result inside the block so __exit__ blocks until the
+    device actually finishes (async dispatch would otherwise measure only
+    trace/enqueue time):
+
+        with Timer() as t:
+            y = jitted_fn(x)
+            t.block(y)
+        print(t.seconds)
+    """
 
     def __enter__(self):
+        self._tree = None
         self.start = time.perf_counter()
         return self
 
+    def block(self, tree):
+        """Register device output(s) to synchronize on at exit."""
+        self._tree = tree
+        return tree
+
     def __exit__(self, *exc):
+        if self._tree is not None:
+            jax.block_until_ready(self._tree)
         self.seconds = time.perf_counter() - self.start
         return False
-
-    @staticmethod
-    def sync(tree):
-        jax.block_until_ready(tree)
 
 
 @dataclass

@@ -31,9 +31,15 @@ from .blocks import (
 )
 
 
-def states_dimension(domain_size: int, depth: int) -> list[int]:
-    """Per-level state grid sizes [N/2^d] (architectures.py:390-392)."""
-    return [domain_size // (2**d) for d in range(depth)]
+def states_dimension(domain_size, depth: int) -> list[tuple[int, int]]:
+    """Per-level state grid sizes [(H/2^d, W/2^d)] (architectures.py:390-392;
+    the reference is square-only — rectangular grids are supported here).
+    `domain_size` may be an int (square) or an (H, W) tuple."""
+    if isinstance(domain_size, int):
+        h = w = domain_size
+    else:
+        h, w = domain_size
+    return [(h // (2**d), w // (2**d)) for d in range(depth)]
 
 
 def init_params(key, cfg: ModelConfig):
@@ -74,12 +80,12 @@ def init_params(key, cfg: ModelConfig):
 
 
 def init_states(
-    batch: int, domain_size: int, cfg: ModelConfig, dtype=jnp.float32
+    batch: int, domain_size, cfg: ModelConfig, dtype=jnp.float32
 ) -> Tuple[jax.Array, ...]:
     """Zero hidden states (reference clear_states, architectures.py:235-238)."""
     dims = states_dimension(domain_size, cfg.depth)
     return tuple(
-        jnp.zeros((batch, dims[d], dims[d], cfg.state_channels), dtype)
+        jnp.zeros((batch,) + dims[d] + (cfg.state_channels,), dtype)
         for d in range(cfg.state_depth)
     )
 
@@ -135,29 +141,29 @@ def apply(
 def flatten_states(states: Sequence[jax.Array]) -> jax.Array:
     flat = []
     for s in states:
-        b, n, _, c = s.shape
-        flat.append(jnp.transpose(s, (0, 3, 1, 2)).reshape(b, c, n * n))
+        b, h, w, c = s.shape
+        flat.append(jnp.transpose(s, (0, 3, 1, 2)).reshape(b, c, h * w))
     return jnp.concatenate(flat, axis=2)
 
 
 def unflatten_states(
-    flat: jax.Array, domain_size: int, cfg: ModelConfig
+    flat: jax.Array, domain_size, cfg: ModelConfig
 ) -> Tuple[jax.Array, ...]:
     dims = states_dimension(domain_size, cfg.depth)
     states = []
     start = 0
     b, c = flat.shape[0], flat.shape[1]
     for d in range(cfg.state_depth):
-        n = dims[d]
-        chunk = flat[:, :, start : start + n * n]
-        states.append(jnp.transpose(chunk.reshape(b, c, n, n), (0, 2, 3, 1)))
-        start += n * n
+        hd, wd = dims[d]
+        chunk = flat[:, :, start : start + hd * wd]
+        states.append(jnp.transpose(chunk.reshape(b, c, hd, wd), (0, 2, 3, 1)))
+        start += hd * wd
     return tuple(states)
 
 
-def total_state_length(domain_size: int, cfg: ModelConfig) -> int:
+def total_state_length(domain_size, cfg: ModelConfig) -> int:
     dims = states_dimension(domain_size, cfg.depth)
-    return sum(n * n for n in dims[: cfg.state_depth])
+    return sum(h * w for h, w in dims[: cfg.state_depth])
 
 
 def count_params(params) -> int:

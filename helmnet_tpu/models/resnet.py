@@ -38,11 +38,12 @@ def init_params(key, cfg: ModelConfig):
     return params
 
 
-def init_states(batch: int, domain_size: int, cfg: ModelConfig,
+def init_states(batch: int, domain_size, cfg: ModelConfig,
                 dtype=jnp.float32) -> Tuple[jax.Array, ...]:
-    return (
-        jnp.zeros((batch, domain_size, domain_size, cfg.state_channels), dtype),
-    )
+    if isinstance(domain_size, int):
+        domain_size = (domain_size, domain_size)
+    h, w = domain_size
+    return (jnp.zeros((batch, h, w, cfg.state_channels), dtype),)
 
 
 def apply(params, x: jax.Array, states: Sequence[jax.Array], *,
@@ -60,16 +61,20 @@ def apply(params, x: jax.Array, states: Sequence[jax.Array], *,
 
 def flatten_states(states: Sequence[jax.Array]) -> jax.Array:
     s = states[0]
-    b, n, _, c = s.shape
-    return jnp.transpose(s, (0, 3, 1, 2)).reshape(b, c, n * n)
+    b, h, w, c = s.shape
+    return jnp.transpose(s, (0, 3, 1, 2)).reshape(b, c, h * w)
 
 
-def unflatten_states(flat: jax.Array, domain_size: int,
+def unflatten_states(flat: jax.Array, domain_size,
                      cfg: ModelConfig) -> Tuple[jax.Array, ...]:
+    if isinstance(domain_size, int):
+        domain_size = (domain_size, domain_size)
+    h, w = domain_size
     b, c = flat.shape[0], flat.shape[1]
-    n = domain_size
-    return (jnp.transpose(flat.reshape(b, c, n, n), (0, 2, 3, 1)),)
+    return (jnp.transpose(flat.reshape(b, c, h, w), (0, 2, 3, 1)),)
 
 
-def total_state_length(domain_size: int, cfg: ModelConfig) -> int:
-    return domain_size * domain_size
+def total_state_length(domain_size, cfg: ModelConfig) -> int:
+    if isinstance(domain_size, int):
+        return domain_size * domain_size
+    return domain_size[0] * domain_size[1]

@@ -173,6 +173,11 @@ def residual_planes_tiled(
     b, h, w = u_re.shape
     if h % tile_h != 0:
         raise ValueError(f"H={h} must be divisible by tile_h={tile_h}")
+    if h == tile_h:
+        # single tile: the halo DMAs would read out of bounds; the
+        # whole-plane kernel covers this case with identical VMEM needs
+        return residual_planes(op, u_re, u_im, k_sq, s_re, s_im,
+                               interpret=interpret)
     r = op.radius
     ntaps = 2 * r + 1
     n_tiles = h // tile_h

@@ -23,19 +23,34 @@ def sigma_profile(n: int, pml_size: int, sigma_max: float) -> np.ndarray:
     Matches reference helmnet/spectral.py:306-311: sigma_max * (1 - j/P)^2 for
     j in [0, P) at the low end, mirrored at the high end.
     """
+    _validate_pml(n, pml_size)
+    sigma = np.zeros(n, dtype=np.float64)
+    if pml_size == 0:
+        return sigma
     j = np.arange(pml_size)
     outer = sigma_max * np.abs(1.0 - j / pml_size) ** 2
-    sigma = np.zeros(n, dtype=np.float64)
     sigma[:pml_size] = outer
     sigma[-pml_size:] = outer[::-1]
     return sigma
 
 
+def _validate_pml(n: int, pml_size: int) -> None:
+    if pml_size < 0:
+        raise ValueError(f"pml_size must be >= 0, got {pml_size}")
+    if 2 * pml_size > n:
+        raise ValueError(
+            f"PML bands overlap: 2*pml_size={2*pml_size} > grid size {n}"
+        )
+
+
 def sigma_prime_profile(n: int, pml_size: int, sigma_max: float) -> np.ndarray:
     """d(sigma)/dx of the quadratic profile (helmnet/spectral.py:322-328)."""
+    _validate_pml(n, pml_size)
+    sp = np.zeros(n, dtype=np.float64)
+    if pml_size == 0:
+        return sp
     j = np.arange(pml_size)
     prime = -2.0 * sigma_max * (1.0 - j / pml_size) / pml_size
-    sp = np.zeros(n, dtype=np.float64)
     sp[:pml_size] = prime
     sp[-pml_size:] = -prime[::-1]
     return sp

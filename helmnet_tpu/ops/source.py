@@ -32,8 +32,13 @@ def point_source_amplitude(
     Matches helmnet/source_module.py:41-79 including the (numerically lossy)
     fft round trip taken even when smooth=False.
     """
+    r, c = int(location[0]), int(location[1])
+    if not (0 <= r < height and 0 <= c < width):
+        raise ValueError(
+            f"source location {location} outside the {height}x{width} grid"
+        )
     spatial = np.zeros((height, width), dtype=np.float64)
-    spatial[location[0], location[1]] = amplitude
+    spatial[r, c] = amplitude
     freq = np.fft.fftshift(np.fft.fft2(spatial))
     if smooth:
         by = periodic_blackman(height)

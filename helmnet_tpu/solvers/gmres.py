@@ -165,7 +165,10 @@ def solve_helmholtz(
     if source.ndim == 3 and source.shape[-1] == 2:
         b = jax.lax.complex(source[..., 0], source[..., 1])
     else:
-        b = source
+        # a real source still has a complex solution: promote explicitly
+        b = jnp.asarray(source)
+        if not jnp.iscomplexobj(b):
+            b = b.astype(jnp.complex64)
     mv = make_helmholtz_matvec(op, k_sq, mode)
     res = gmres_restarted(
         mv, b, restart=restart, max_restarts=max_restarts, tol=tol

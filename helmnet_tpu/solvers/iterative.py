@@ -105,7 +105,7 @@ def rollout(
         raise ValueError("num_iterations must be divisible by decimate")
     k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
     states = get_architecture(cfg.model.architecture).init_states(
-        sos_maps.shape[0], sos_maps.shape[1], cfg.model, sos_maps.dtype
+        sos_maps.shape[0], sos_maps.shape[1:3], cfg.model, sos_maps.dtype
     )
     residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
     carry = SolverCarry(wavefield, residual, states)
@@ -336,7 +336,7 @@ def rollout_variable_source(
         raise ValueError("num_iterations must be divisible by decimate")
     k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
     states = get_architecture(cfg.model.architecture).init_states(
-        sos_maps.shape[0], sos_maps.shape[1], cfg.model, sos_maps.dtype
+        sos_maps.shape[0], sos_maps.shape[1:3], cfg.model, sos_maps.dtype
     )
 
     def source_at(it):
@@ -372,6 +372,12 @@ def rollout_variable_source(
         ys = dict(inner_ys)
         if "wavefields" in collect:
             ys["wavefields"] = carry.wavefield
+        if "residuals" in collect:
+            ys["residuals"] = carry.residual
+        if "states" in collect:
+            ys["states"] = get_architecture(
+                cfg.model.architecture
+            ).flatten_states(carry.states)
         return carry, ys
 
     carry, ys = jax.lax.scan(

@@ -35,7 +35,9 @@ def make_device_buffer_fns(cfg: Config, optimizer):
 
     def fresh_experiences(op: SpectralPML, source, sos_maps):
         k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
-        states = arch.init_states(sos_maps.shape[0], sos_maps.shape[1], cfg.model)
+        states = arch.init_states(
+            sos_maps.shape[0], sos_maps.shape[1:3], cfg.model
+        )
         residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
         return {
             "wavefield": wavefield,
@@ -69,7 +71,9 @@ def make_device_buffer_fns(cfg: Config, optimizer):
             carry = SolverCarry(
                 batch_wf,
                 batch_res,
-                arch.unflatten_states(batch_states, batch_wf.shape[1], cfg.model),
+                arch.unflatten_states(
+                    batch_states, batch_wf.shape[1:3], cfg.model
+                ),
             )
             _, ys = n_steps(
                 p, op, batch_src, batch_ksq, carry, cfg=cfg, num_steps=num_steps

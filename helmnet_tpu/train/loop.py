@@ -121,7 +121,10 @@ class Trainer:
         )
         self.optimizer = make_optimizer(cfg)
         self.opt_state = self.optimizer.init(self.params)
-        self.buffer = ReplayBuffer(
+        self.capacity = cfg.training.buffer_size
+        # the host-side buffer is only materialized on the host path;
+        # the device path keeps everything in HBM (train/device_buffer.py)
+        self.buffer = None if device_buffer else ReplayBuffer(
             cfg.training.buffer_size,
             self.height,
             self.width,
@@ -172,7 +175,7 @@ class Trainer:
                     batch.wavefield,
                     batch.residual,
                     arch.unflatten_states(
-                        batch.states, batch.wavefield.shape[1], cfg.model
+                        batch.states, batch.wavefield.shape[1:3], cfg.model
                     ),
                 )
                 _, ys = n_steps(
@@ -215,7 +218,7 @@ class Trainer:
             hybridnet.py:199-218)."""
             k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
             states = arch.init_states(
-                sos_maps.shape[0], sos_maps.shape[1], cfg.model
+                sos_maps.shape[0], sos_maps.shape[1:3], cfg.model
             )
             residual = helmholtz_residual(
                 op, wavefield, k_sq, source, cfg.operator_mode
@@ -241,7 +244,7 @@ class Trainer:
     def fill_buffer(self, sos_maps: np.ndarray):
         """Seed all slots with fresh problems; slot i gets starting age 10*i
         (hybridnet.py:199-218) so curriculum ages are spread out."""
-        cap = self.buffer.capacity
+        cap = self.capacity
         if self.device_buffer:
             self._sos_pool = jnp.asarray(sos_maps)
             maps = sos_maps[np.arange(cap) % len(sos_maps)]
@@ -335,6 +338,10 @@ class Trainer:
             restarts += int((~keep).sum())
             self.global_step += 1
 
+        return self._finish_epoch(losses, restarts, maxiter, tic)
+
+    def _finish_epoch(self, losses, restarts, maxiter, tic) -> dict:
+        """Shared epoch-end bookkeeping: nan guard, plateau LR, logging."""
         epoch_loss = float(np.mean(losses))
         if self.terminate_on_nan and not np.isfinite(epoch_loss):
             raise FloatingPointError(
@@ -362,7 +369,7 @@ class Trainer:
         """Device-buffer epoch: host contributes RNG integers only."""
         t = self.cfg.training
         bs = t.train_batch_size
-        cap = self.buffer.capacity
+        cap = self.capacity
         maxiter = self.max_allowed_iterations()
         num_batches = max(len(train_maps) // bs, 1)
         step_metrics = []  # device scalars, fetched lazily at epoch end
@@ -390,28 +397,7 @@ class Trainer:
         fetched = jax.device_get(step_metrics)
         losses = [float(m["loss"]) for m in fetched]
         restarts = int(sum(int(m["restarts"]) for m in fetched))
-        epoch_loss = float(np.mean(losses))
-        if self.terminate_on_nan and not np.isfinite(epoch_loss):
-            raise FloatingPointError(
-                f"non-finite training loss at epoch {self.epoch}"
-            )
-        lr = self.scheduler.step(epoch_loss)
-        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-        stats = {
-            "epoch": self.epoch,
-            "train_loss_mean": epoch_loss,
-            "maxiter": maxiter,
-            "new_sos": restarts,
-            "lr": lr,
-            "epoch_time_s": time.time() - tic,
-            "global_step": self.global_step,
-        }
-        self._log(stats)
-        if self._tb is not None:
-            for k in ("train_loss_mean", "maxiter", "new_sos", "lr"):
-                self._tb.add_scalar(f"train/{k}", stats[k], self.global_step)
-        self.epoch += 1
-        return stats
+        return self._finish_epoch(losses, restarts, maxiter, tic)
 
     # ------------------------------------------------------------------
 
@@ -517,7 +503,7 @@ class Trainer:
         if self.device_buffer:
             if self._dev_buf is None:
                 self.fill_buffer(train_maps)
-        elif not np.any(self.buffer.k_sq):
+        elif self.buffer is None or not np.any(self.buffer.k_sq):
             self.fill_buffer(train_maps)
         history = []
         for _ in range(num_epochs):

@@ -113,3 +113,31 @@ class TestInputValidation:
         solver = IterativeSolver(Config())
         with pytest.raises(ValueError, match="divisible"):
             solver.set_domain_size(100)
+
+
+class TestRectangularDomains:
+    def test_rectangular_rollout(self):
+        """Non-square grids through the full solver (beyond the
+        square-only reference; code-review finding)."""
+        from helmnet_tpu.core.config import Config
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+
+        solver = IterativeSolver(Config())
+        solver.set_domain_size((32, 64), source_location=(24, 40))
+        sos = np.ones((32, 64), np.float32)
+        out = solver.forward(sos, num_iterations=4)
+        assert out["wavefield"].shape == (1, 32, 64, 2)
+        assert np.isfinite(np.asarray(out["rmse"])).all()
+
+    def test_source_out_of_bounds(self):
+        from helmnet_tpu.ops.source import point_source_map
+
+        with pytest.raises(ValueError, match="outside"):
+            point_source_map(32, 32, (82, 48), 10.0)
+
+    def test_pml_zero_and_overlap(self):
+        from helmnet_tpu.ops.pml import sigma_profile
+
+        assert np.all(sigma_profile(32, 0, 2.0) == 0.0)
+        with pytest.raises(ValueError, match="overlap"):
+            sigma_profile(8, 5, 2.0)
