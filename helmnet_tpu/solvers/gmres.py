@@ -193,3 +193,38 @@ def solve_helmholtz_batch(
     """vmapped test-set sweep — replaces parallel_spectral_gmres_solver.m."""
     fn = lambda k, s: solve_helmholtz(op, k, s, **kw)
     return jax.vmap(fn)(k_sq_batch, source_batch)
+
+
+def gmres_restarted_early_exit(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    restart: int = 20,
+    max_restarts: int = 50,
+    tol: float = 1e-10,
+):
+    """Restarted GMRES that STOPS once converged (lax.while_loop).
+
+    Unlike `gmres_restarted` (fixed scan + per-cycle checkpoints, matching
+    the MATLAB driver), this variant spends no cycles after convergence —
+    the production fast path. Returns (x, final_residual_norm, iterations).
+    """
+    flat = b.reshape(-1)
+    x0f = jnp.zeros_like(flat) if x0 is None else x0.reshape(-1)
+    mv = lambda v: matvec(v.reshape(b.shape)).reshape(-1)
+    bnorm = jnp.maximum(jnp.linalg.norm(flat), 1e-30)
+
+    def cond(state):
+        _, rn, cycles = state
+        return (rn > tol * bnorm) & (cycles < max_restarts)
+
+    def body(state):
+        x, _, cycles = state
+        x = _arnoldi_cycle(mv, flat, x, restart)
+        rn = jnp.linalg.norm(flat - mv(x))
+        return x, rn, cycles + 1
+
+    rn0 = jnp.linalg.norm(flat - mv(x0f))
+    x, rn, cycles = jax.lax.while_loop(cond, body, (x0f, rn0, jnp.array(0)))
+    return x.reshape(b.shape), rn, cycles * restart

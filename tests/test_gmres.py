@@ -151,3 +151,30 @@ class TestGMRESStencilPath:
         got = xp[..., 0] + 1j * xp[..., 1]
         scale = np.abs(u_direct).max()
         np.testing.assert_allclose(got, u_direct, atol=5e-3 * scale)
+
+
+class TestEarlyExit:
+    def test_early_exit_matches_and_stops(self):
+        import jax
+
+        op, k_sq, src, n, pml = problem()
+        mv = gmres.make_helmholtz_matvec(op, k_sq)
+        b = jax.lax.complex(
+            np.asarray(src[..., 0]), np.asarray(src[..., 1])
+        )
+        x, rn, iters = jax.jit(
+            lambda bb: gmres.gmres_restarted_early_exit(
+                mv, bb, restart=30, max_restarts=40, tol=1e-5
+            )
+        )(b)
+        bnorm = float(np.linalg.norm(np.asarray(b)))
+        assert float(rn) <= 1e-5 * bnorm * 1.01
+        assert int(iters) < 30 * 40  # stopped early
+        # agrees with the checkpointing variant
+        full = gmres.solve_helmholtz(
+            op, k_sq, src, restart=30, max_restarts=40, tol=1e-5
+        )
+        xf = np.asarray(full.x)
+        got = np.stack([np.asarray(x.real), np.asarray(x.imag)], -1)
+        scale = np.abs(xf).max()
+        np.testing.assert_allclose(got, xf, atol=1e-3 * scale)
