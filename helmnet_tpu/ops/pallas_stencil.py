@@ -333,3 +333,165 @@ def helmholtz_residual_stencil_auto(op: StencilPML, u, k_sq, source):
     if pallas_supported(h, w):
         return helmholtz_residual_pallas(op, u, k_sq, source)
     return helmholtz_residual_stencil(op, u, k_sq, source)
+
+
+# ---------------------------------------------------------------------------
+# MXU-hybrid kernel: lane-axis (x) taps as a banded matmul, sublane-axis (y)
+# taps as cheap shifts. Lane rotations on the VPU dominate the pure-roll
+# kernel's cost; the MXU applies the banded [W, W] matrix in microseconds.
+# ---------------------------------------------------------------------------
+
+
+def banded_matrices(op: StencilPML):
+    """Dense banded (periodic) [W, W] matrices of the x-axis taps, split
+    re/im and pre-transposed for `u @ Bt`: Bt[j, i] = coeff for out col i
+    from in col j. Traceable (constant-folds under jit)."""
+    cxr, cxi = op.cx_r, op.cx_i  # [ntaps, W]
+    ntaps, w = cxr.shape
+    r = (ntaps - 1) // 2
+    btr = jnp.zeros((w, w), jnp.float32)
+    bti = jnp.zeros((w, w), jnp.float32)
+    cols = jnp.arange(w)
+    for t in range(ntaps):
+        rows = (cols + (t - r)) % w
+        btr = btr.at[rows, cols].add(cxr[t])
+        bti = bti.at[rows, cols].add(cxi[t])
+    return btr, bti
+
+
+def _residual_kernel_mxu(radius: int, tile_h: int,
+                         btr_ref, bti_ref, cyr_ref, cyi_ref,
+                         ur_hbm, ui_hbm, ksq_ref, sr_ref, si_ref,
+                         rr_ref, ri_ref,
+                         ur_pad, ui_pad, sems):
+    """Row-tiled kernel: x taps via MXU banded matmul, y taps via sublane
+    shifts on a halo-padded block (same DMA scheme as the tiled kernel)."""
+    b_idx = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    h = n_tiles * tile_h
+    r = radius
+    halo = _HALO
+    pad_h = tile_h + 2 * halo
+
+    def load(dst, src_plane, sem):
+        start = pl.multiple_of(i * tile_h - halo, 8)
+
+        @pl.when(i == 0)
+        def _():
+            top = pltpu.make_async_copy(
+                src_plane.at[pl.ds(h - halo, halo)], dst.at[pl.ds(0, halo)], sem
+            )
+            top.start()
+            main = pltpu.make_async_copy(
+                src_plane.at[pl.ds(0, tile_h + halo)],
+                dst.at[pl.ds(halo, tile_h + halo)], sem,
+            )
+            main.start()
+            top.wait()
+            main.wait()
+
+        @pl.when((i > 0) & (i < n_tiles - 1))
+        def _():
+            main = pltpu.make_async_copy(
+                src_plane.at[pl.ds(start, pad_h)], dst, sem
+            )
+            main.start()
+            main.wait()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            main = pltpu.make_async_copy(
+                src_plane.at[pl.ds(start, tile_h + halo)],
+                dst.at[pl.ds(0, tile_h + halo)], sem,
+            )
+            main.start()
+            bot = pltpu.make_async_copy(
+                src_plane.at[pl.ds(0, halo)], dst.at[pl.ds(tile_h + halo, halo)],
+                sem,
+            )
+            bot.start()
+            main.wait()
+            bot.wait()
+
+    load(ur_pad, ur_hbm.at[b_idx], sems.at[0])
+    load(ui_pad, ui_hbm.at[b_idx], sems.at[1])
+
+    upr = ur_pad[:]
+    upi = ui_pad[:]
+    ur = upr[halo : halo + tile_h, :]
+    ui = upi[halo : halo + tile_h, :]
+
+    # x taps on the MXU: (ur + i ui) @ (Btr + i Bti)
+    btr = btr_ref[:]
+    bti = bti_ref[:]
+    f32 = jnp.float32
+    xr = jnp.dot(ur, btr, preferred_element_type=f32) - jnp.dot(
+        ui, bti, preferred_element_type=f32)
+    xi = jnp.dot(ur, bti, preferred_element_type=f32) + jnp.dot(
+        ui, btr, preferred_element_type=f32)
+
+    acc_r = xr + ksq_ref[0] * ur - sr_ref[0]
+    acc_i = xi + ksq_ref[0] * ui - si_ref[0]
+
+    row0 = i * tile_h
+    ntaps = 2 * r + 1
+    for t in range(ntaps):
+        off = t - r
+        uyr = upr[halo + off : halo + off + tile_h, :]
+        uyi = upi[halo + off : halo + off + tile_h, :]
+        cyr = cyr_ref[t, pl.ds(row0, tile_h)]
+        cyi = cyi_ref[t, pl.ds(row0, tile_h)]
+        acc_r += cyr[:, None] * uyr - cyi[:, None] * uyi
+        acc_i += cyr[:, None] * uyi + cyi[:, None] * uyr
+    rr_ref[0] = acc_r
+    ri_ref[0] = acc_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def residual_planes_mxu(
+    op: StencilPML,
+    u_re: jax.Array,
+    u_im: jax.Array,
+    k_sq: jax.Array,
+    s_re: jax.Array,
+    s_im: jax.Array,
+    *,
+    tile_h: int = 128,
+    interpret: bool = False,
+):
+    """MXU-hybrid row-tiled fused stencil residual for [B, H, W] planes."""
+    b, h, w = u_re.shape
+    if h % tile_h != 0:
+        raise ValueError(f"H={h} must be divisible by tile_h={tile_h}")
+    if h == tile_h:
+        return residual_planes(op, u_re, u_im, k_sq, s_re, s_im,
+                               interpret=interpret)
+    r = op.radius
+    ntaps = 2 * r + 1
+    n_tiles = h // tile_h
+    btr, bti = banded_matrices(op)
+    band = pl.BlockSpec((w, w), lambda b_, i: (0, 0), memory_space=pltpu.VMEM)
+    coeff_y = pl.BlockSpec((ntaps, h), lambda b_, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, tile_h, w), lambda b_, i: (b_, i, 0),
+                        memory_space=pltpu.VMEM)
+    whole = pl.BlockSpec(memory_space=pl.ANY)
+
+    kernel = functools.partial(_residual_kernel_mxu, r, tile_h)
+    out_shape = jax.ShapeDtypeStruct((b, h, w), u_re.dtype)
+    rr, ri = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[band, band, coeff_y, coeff_y,
+                  whole, whole, tile, tile, tile],
+        out_specs=(tile, tile),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _HALO, w), u_re.dtype),
+            pltpu.VMEM((tile_h + 2 * _HALO, w), u_re.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(btr, bti, op.cy_r, op.cy_i, u_re, u_im, k_sq, s_re, s_im)
+    return rr, ri

@@ -96,3 +96,21 @@ class TestTiledKernel:
         u = np.zeros((1, 96, 128), np.float32)
         with pytest.raises(ValueError):
             residual_planes_tiled(op, u, u, u, u, u, tile_h=40, interpret=INTERPRET)
+
+
+class TestMXUKernel:
+    def test_mxu_hybrid_matches_xla(self):
+        from helmnet_tpu.ops.pallas_stencil import residual_planes_mxu
+
+        op = stencil.make_stencil_operator(256, 128, 8, 2.0, 1.0, order=4)
+        rng = np.random.default_rng(4)
+        u = rng.standard_normal((2, 256, 128, 2)).astype(np.float32)
+        k_sq = rng.uniform(0.5, 1.2, (2, 256, 128)).astype(np.float32)
+        src = rng.standard_normal((2, 256, 128, 2)).astype(np.float32)
+        expected = np.asarray(stencil.helmholtz_residual_stencil(op, u, k_sq, src))
+        rr, ri = residual_planes_mxu(
+            op, u[..., 0], u[..., 1], k_sq, src[..., 0], src[..., 1],
+            tile_h=64, interpret=INTERPRET,
+        )
+        got = np.stack([np.asarray(rr), np.asarray(ri)], -1)
+        np.testing.assert_allclose(got, expected, atol=2e-4)
