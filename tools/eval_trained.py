@@ -34,6 +34,7 @@ def main():
     from helmnet_tpu.ops.spectral import make_operator
     from helmnet_tpu.solvers.iterative import rollout
     from helmnet_tpu.train.checkpoint import restore_checkpoint
+    from helmnet_tpu.train.loop import make_optimizer
 
     root = os.path.join(os.path.dirname(__file__), "..")
     ckpt_dir = os.path.join(root, "checkpoints", args.tag)
@@ -71,14 +72,17 @@ def main():
     )[-args.limit_ckpts :]
     print("checkpoints:", steps, flush=True)
 
-    template_params = hybridnet.init_params(
-        __import__("jax").random.PRNGKey(0), cfg.model
-    )
+    import jax
+
+    template_params = hybridnet.init_params(jax.random.PRNGKey(0), cfg.model)
+    opt_template = make_optimizer(cfg).init(template_params)
     results = []
     maps_dev = jnp.asarray(val_maps)
     for step in steps:
         state = restore_checkpoint(
-            ckpt_dir, step, {"params": template_params, "epoch": 0}
+            ckpt_dir, step,
+            {"params": template_params, "opt_state": opt_template,
+             "epoch": 0, "global_step": 0},
         )
         params = state["params"]
         out_r = rollout(params, op, sources, maps_dev, cfg=cfg,
