@@ -94,6 +94,46 @@ def main():
     except Exception as e:  # keep the primary result even if extras fail
         details["extras_error"] = repr(e)
 
+    # sparse stencil-residual kernel (the BASELINE.json SpMV metric)
+    try:
+        import jax.numpy as jnp
+
+        from helmnet_tpu.ops.pallas_stencil import residual_planes_tiled
+        from helmnet_tpu.ops.stencil import make_stencil_operator
+
+        n, b, L = 512, 8, 100
+        st = make_stencil_operator(n, n, cfg.geometry.pml_size,
+                                   cfg.geometry.sigma_max, cfg.k0, order=4)
+        rng = np.random.default_rng(0)
+        ur = jnp.asarray(rng.standard_normal((b, n, n)).astype(np.float32))
+        ui = jnp.asarray(rng.standard_normal((b, n, n)).astype(np.float32))
+        ksq = jnp.asarray(np.ones((b, n, n), np.float32))
+
+        @jax.jit
+        def many(a0):
+            def body(c, _):
+                rr, _ri = residual_planes_tiled(st, c, ui, ksq, c, ui,
+                                                tile_h=128)
+                return c * 0.999 + rr * 1e-3, None
+            c, _ = jax.lax.scan(body, a0, None, length=L)
+            return c
+
+        np.asarray(many(ur))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(many(ur))
+            ts.append(time.time() - t0)
+        dt = min(ts) / L
+        nnz = b * n * n * (4 * st.radius + 1)
+        details["stencil_spmv_512"] = {
+            "grid": n, "batch": b, "seconds_per_apply": dt,
+            "gridpoints_per_s": b * n * n / dt,
+            "nnz_per_s": nnz / dt,
+        }
+    except Exception as e:
+        details["stencil_error"] = repr(e)
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = None
     if os.path.exists(baseline_path):

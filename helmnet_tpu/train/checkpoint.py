@@ -174,3 +174,21 @@ def latest_step(directory: str):
             except ValueError:
                 pass
     return max(steps) if steps else None
+
+
+def save_params_npz(path: str, params) -> None:
+    """Portable flat-npz export of a params pytree (leaves in tree order)."""
+    flat, _ = jax.tree_util.tree_flatten(params)
+    np.savez_compressed(path, **{f"p{i}": np.asarray(a) for i, a in enumerate(flat)})
+
+
+def load_params_npz(path: str, cfg: Config):
+    """Load a flat-npz params export back into the architecture's pytree."""
+    from ..models.registry import get_architecture
+
+    arch = get_architecture(cfg.model.architecture)
+    template = arch.init_params(jax.random.PRNGKey(0), cfg.model)
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    with np.load(path) as f:
+        leaves = [jnp.asarray(f[f"p{i}"]) for i in range(len(flat))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
