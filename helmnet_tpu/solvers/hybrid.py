@@ -1,0 +1,71 @@
+"""Hybrid solver: learned warm start + GMRES polish.
+
+The learned iteration converges in tens of steps on in-distribution
+problems but can oscillate on far out-of-distribution ones (huge grids,
+extended transducer sources — see PERF_NOTES/TRAINING). The production-
+robust path: run N learned iterations tracking the minimum-residual
+iterate, then hand that iterate to restarted GMRES as the initial guess.
+Krylov polishing from a good warm start costs a fraction of a cold solve
+and comes with the classical convergence guarantee the learned solver
+lacks. (The reference has no equivalent; its fallback is a cold MATLAB
+GMRES run — BASELINE.json config 4 "learned iterations + GMRES fallback".)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..ops.spectral import SpectralPML
+from .gmres import gmres_restarted_early_exit, make_helmholtz_matvec
+from .iterative import rollout
+
+
+class HybridResult(NamedTuple):
+    wavefield: jax.Array  # [B, H, W, 2] polished solution
+    warm_rmse: jax.Array  # [B] best learned residual RMSE (warm start)
+    final_relres: jax.Array  # [B] GMRES relative residual after polish
+    gmres_iterations: jax.Array  # [B]
+
+
+def solve_hybrid(
+    params,
+    op: SpectralPML,
+    source: jax.Array,
+    sos_maps: jax.Array,
+    *,
+    cfg: Config,
+    learned_iterations: int = 100,
+    restart: int = 50,
+    max_restarts: int = 10,
+    tol: float = 1e-6,
+) -> HybridResult:
+    """Learned warm start + per-sample GMRES polish (vmapped)."""
+    out = rollout(
+        params, op, source, sos_maps, cfg=cfg,
+        num_iterations=learned_iterations, collect=("rmse", "best"),
+    )
+    warm = out["best_wavefield"]  # [B, H, W, 2]
+    k_sq = (cfg.source.omega / sos_maps) ** 2
+
+    def polish(w, ks, src):
+        mv = make_helmholtz_matvec(op, ks, cfg.operator_mode)
+        b = jax.lax.complex(src[..., 0], src[..., 1])
+        x0 = jax.lax.complex(w[..., 0], w[..., 1])
+        x, rn, iters = gmres_restarted_early_exit(
+            mv, b, x0, restart=restart, max_restarts=max_restarts, tol=tol
+        )
+        rel = rn / jnp.maximum(jnp.linalg.norm(b.reshape(-1)), 1e-30)
+        return jnp.stack([x.real, x.imag], axis=-1), rel, iters
+
+    fields, rels, iters = jax.vmap(polish)(warm, k_sq, source)
+    return HybridResult(
+        wavefield=fields,
+        warm_rmse=out["best_rmse"],
+        final_relres=rels,
+        gmres_iterations=iters,
+    )

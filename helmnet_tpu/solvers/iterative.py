@@ -109,17 +109,27 @@ def rollout(
     )
     residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
     carry = SolverCarry(wavefield, residual, states)
+    track_best = "best" in collect
 
-    def inner_body(carry, _):
+    def inner_body(c, _):
+        carry, best_wf, best_rmse = c
         carry = single_step(params, op, source, k_sq, carry, cfg=cfg)
         ys = {}
+        rmse = residual_rmse(carry.residual)
         if "rmse" in collect:
-            ys["rmse"] = residual_rmse(carry.residual)
-        return carry, ys
+            ys["rmse"] = rmse
+        if track_best:
+            better = rmse < best_rmse
+            best_wf = jnp.where(
+                better[:, None, None, None], carry.wavefield, best_wf
+            )
+            best_rmse = jnp.minimum(rmse, best_rmse)
+        return (carry, best_wf, best_rmse), ys
 
-    def outer_body(carry, _):
+    def outer_body(c, _):
         # `decimate` steps; heavy arrays are only sampled once per chunk
-        carry, inner_ys = jax.lax.scan(inner_body, carry, None, length=decimate)
+        c, inner_ys = jax.lax.scan(inner_body, c, None, length=decimate)
+        carry = c[0]
         ys = dict(inner_ys)
         if "wavefields" in collect:
             ys["wavefields"] = carry.wavefield
@@ -129,16 +139,23 @@ def rollout(
             ys["states"] = get_architecture(
                 cfg.model.architecture
             ).flatten_states(carry.states)
-        return carry, ys
+        return c, ys
 
-    carry, ys = jax.lax.scan(
-        outer_body, carry, None, length=num_iterations // decimate
+    best0 = (wavefield, jnp.full((sos_maps.shape[0],), jnp.inf, sos_maps.dtype))
+    (carry, best_wf, best_rmse), ys = jax.lax.scan(
+        outer_body, (carry, *best0), None, length=num_iterations // decimate
     )
     out = {
         "wavefield": carry.wavefield,
         "residual": carry.residual,
         "states": carry.states,
     }
+    if track_best:
+        # best-so-far iterate (long out-of-distribution rollouts can
+        # oscillate after converging; the minimum-residual iterate is the
+        # robust answer and the GMRES warm start)
+        out["best_wavefield"] = best_wf
+        out["best_rmse"] = best_rmse
     if "rmse" in ys:
         # [chunks, decimate, B] -> [iterations, B]
         r = ys.pop("rmse")
