@@ -101,3 +101,35 @@ class TestRolloutParity:
         np.testing.assert_allclose(
             np.asarray(solver.source), nchw_to_nhwc(fx["source"]), atol=1e-6
         )
+
+
+class TestVariableSourceParity:
+    def test_variable_source_trace(self, ckpt):
+        """Mid-solve source switching matches the reference
+        forward_variable_src semantics (hybridnet.py:699-754)."""
+        import jax.numpy as jnp
+
+        from helmnet_tpu.solvers.iterative import rollout_variable_source
+
+        params, cfg = ckpt
+        fx = np.load(os.path.join(FIXTURES, "rollout_variable_source_96.npz"))
+        solver = IterativeSolver(cfg, params=params)
+        sources = jnp.asarray(
+            np.stack([
+                nchw_to_nhwc(fx["source_a"]),
+                nchw_to_nhwc(fx["source_b"]),
+            ])
+        )  # [2, 1, H, W, 2]
+        out = rollout_variable_source(
+            params, solver.op, sources,
+            jnp.array([0, int(fx["switch_iteration"])]),
+            jnp.asarray(fx["sos"])[None], cfg=cfg, num_iterations=20,
+        )
+        rmse = np.asarray(out["rmse"])[:, 0]
+        np.testing.assert_allclose(rmse, fx["rmse"], rtol=2e-2)
+        # residual jump at the switch is reproduced
+        assert abs(rmse[8] - rmse[7]) > 1e-5 or abs(fx["rmse"][8] - fx["rmse"][7]) < 1e-5
+        wf = np.asarray(out["wavefield"])[0]
+        ref_wf = nchw_to_nhwc(fx["wavefield_20"])[0]
+        scale = np.abs(ref_wf).max()
+        np.testing.assert_allclose(wf, ref_wf, atol=2e-2 * scale)

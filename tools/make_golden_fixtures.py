@@ -161,3 +161,35 @@ np.savez_compressed(
 
 print("fixtures written to", os.path.abspath(OUT))
 print("rollout rmse[0,9,49,99] =", [np.array(rmse)[i] for i in (0, 9, 49, 99)])
+
+# --- Fixture D: variable-source rollout (forward_variable_src semantics) ----
+src_mod2 = SourceModule(image_size=N, omega=OMEGA, location=[20, 60],
+                        amplitude=SRC_AMP, phase=0.0, smooth=False)
+source2 = src_mod2.spatial_map(0).permute(0, 3, 1, 2).float()
+
+with torch.no_grad():
+    k_sq = (OMEGA / sos_t) ** 2
+    wavefield = torch.zeros(1, 2, N, N)
+    net.clear_states(wavefield)
+    cur_src = source
+    residual = apply_lap(wavefield) + k_sq * wavefield - cur_src
+    rmse_vs = []
+    for it in range(20):
+        if it == 8:  # switch source mid-solve (hybridnet.py:727-733)
+            cur_src = source2
+            residual = apply_lap(wavefield) + k_sq * wavefield - cur_src
+        inp = torch.cat([wavefield, 1e3 * residual, sigmas.unsqueeze(0)], dim=1)
+        d = net(inp)
+        wavefield = d / 1e3 + wavefield
+        residual = apply_lap(wavefield) + k_sq * wavefield - cur_src
+        rmse_vs.append(float(residual.pow(2).mean((1, 2, 3)).sqrt()[0]))
+np.savez_compressed(
+    os.path.join(OUT, "rollout_variable_source_96.npz"),
+    sos=sos,
+    source_a=source.numpy(),
+    source_b=source2.numpy(),
+    switch_iteration=8,
+    rmse=np.array(rmse_vs, np.float64),
+    wavefield_20=wavefield.numpy(),
+)
+print("variable-source fixture written; rmse:", rmse_vs[:3], "...", rmse_vs[-1])
