@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--iterations", type=int, default=500)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--limit-ckpts", type=int, default=12)
+    ap.add_argument("--md-name", type=str, default="TRAINING.md")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -105,7 +106,7 @@ def main():
     best = min(results, key=lambda r: r["rand_median"])
     print("\nBEST:", best, flush=True)
 
-    with open(os.path.join(root, "TRAINING.md"), "w") as f:
+    with open(os.path.join(root, args.md_name), "w") as f:
         f.write("# Round-1 from-scratch training (TPU v5e, device-resident buffer)\n\n")
         f.write("Reference config (96^2, buffer 600, batch 32, unroll 10, "
                 "Adam 1e-4, curriculum min(20*epoch+1, 1000)), bf16 network "
