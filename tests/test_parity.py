@@ -133,3 +133,55 @@ class TestVariableSourceParity:
         ref_wf = nchw_to_nhwc(fx["wavefield_20"])[0]
         scale = np.abs(ref_wf).max()
         np.testing.assert_allclose(wf, ref_wf, atol=2e-2 * scale)
+
+
+class TestGradientParity:
+    def test_bptt_gradients_match_reference(self, ckpt):
+        """Training-path parity: gradients of the 2-step unrolled physics
+        loss match the reference's torch BPTT (hybridnet.py:385-414)."""
+        import jax
+        import jax.numpy as jnp
+
+        from helmnet_tpu.models import hybridnet
+        from helmnet_tpu.models.blocks import (
+            torch_conv_to_hwio,
+            torch_convtranspose_to_hwio,
+        )
+        from helmnet_tpu.ops.spectral import helmholtz_residual
+        from helmnet_tpu.solvers.iterative import SolverCarry, n_steps
+
+        params, cfg = ckpt
+        fx = np.load(os.path.join(FIXTURES, "bptt_grads_96.npz"))
+        solver = IterativeSolver(cfg, params=params)
+        sos = jnp.asarray(fx["sos"])[None]
+        k_sq = (cfg.source.omega / sos) ** 2
+        source = solver.source
+
+        def loss_fn(p):
+            wavefield = jnp.zeros((1, 96, 96, 2))
+            states = hybridnet.init_states(1, 96, cfg.model)
+            residual = helmholtz_residual(solver.op, wavefield, k_sq, source)
+            _, ys = n_steps(
+                p, solver.op, source, k_sq,
+                SolverCarry(wavefield, residual, states),
+                cfg=cfg, num_steps=2,
+            )
+            return 1e4 * jnp.mean(ys["residuals"] ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert float(loss) == pytest.approx(float(fx["loss"]), rel=1e-3)
+
+        checks = [
+            (grads["inc"]["c1"]["w"], torch_conv_to_hwio(fx["g_inc_c1_w"])),
+            (grads["outc"]["w"], torch_conv_to_hwio(fx["g_outc_w"])),
+            (grads["enc"][0]["conv_state"]["c1"]["w"],
+             torch_conv_to_hwio(fx["g_enc0_state_c1_w"])),
+            (grads["up"][2]["w"],
+             torch_convtranspose_to_hwio(fx["g_up2_w"])),
+            (grads["inc"]["act"]["a"], fx["g_prelu_inc"]),
+        ]
+        for got, ref in checks:
+            scale = np.abs(ref).max() + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(got), ref, atol=2e-3 * scale, rtol=2e-3
+            )

@@ -136,3 +136,44 @@ class TestDistributedFFT:
         ))
         exp_r = expected + k_sq[..., None] * u - src
         np.testing.assert_allclose(got_r, exp_r, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedGMRES:
+    def test_gmres_under_spatial_sharding(self):
+        """GMRES with spatially-sharded vectors (GSPMD partitions the
+        matvec) matches the single-device solve."""
+        from helmnet_tpu.ops.source import point_source_map
+        from helmnet_tpu.solvers import gmres
+
+        n = 64
+        op = spectral.make_operator(n, n, 8, 2.0, 1.0)
+        sos = np.ones((n, n), np.float32)
+        sos[20:40, 16:52] = 1.5
+        k_sq = (1.0 / sos) ** 2
+        src = point_source_map(n, n, (n - 12, n // 2), 10.0)
+
+        ref = gmres.solve_helmholtz(
+            op, k_sq, src, restart=60, max_restarts=15, tol=1e-6
+        )
+
+        mesh = make_mesh(ParallelConfig(data=1, y=4, x=2))
+        sharding = NamedSharding(mesh, P("y", "x"))
+        k_s = jax.device_put(jnp.asarray(k_sq), sharding)
+        s_s = jax.device_put(
+            jnp.asarray(src), NamedSharding(mesh, P("y", "x", None))
+        )
+        got = gmres.solve_helmholtz(
+            op, k_s, s_s, restart=60, max_restarts=15, tol=1e-6
+        )
+        # f32 Krylov trajectories differ under resharded reduction order;
+        # assert solution QUALITY matches: both converge to the same
+        # residual level and the fields agree to iterative-solver accuracy
+        rn_ref = np.asarray(ref.residual_norms)
+        rn_got = np.asarray(got.residual_norms)
+        assert rn_got[-1] <= rn_ref[-1] * 10
+        assert rn_got[-1] <= rn_got[0] * 1e-2
+        scale = np.abs(np.asarray(ref.x)).max()
+        np.testing.assert_allclose(
+            np.asarray(got.x), np.asarray(ref.x), atol=3e-2 * scale
+        )

@@ -193,3 +193,34 @@ np.savez_compressed(
     wavefield_20=wavefield.numpy(),
 )
 print("variable-source fixture written; rmse:", rmse_vs[:3], "...", rmse_vs[-1])
+
+# --- Fixture E: BPTT gradient parity (2-step unroll training gradient) ------
+# Loss = 1e4 * mean over both unrolled steps of residual^2, grads w.r.t. a
+# few representative weights (hybridnet.py:385-414 semantics).
+net.zero_grad()
+for p in net.parameters():
+    p.requires_grad_(True)
+k_sq = (OMEGA / sos_t) ** 2
+wavefield = torch.zeros(1, 2, N, N)
+net.clear_states(wavefield)
+residual = get_residual(wavefield, k_sq)
+residuals = []
+for _ in range(2):
+    inp = torch.cat([wavefield, 1e3 * residual, sigmas.unsqueeze(0)], dim=1)
+    d = net(inp)
+    wavefield = d / 1e3 + wavefield
+    residual = get_residual(wavefield, k_sq)
+    residuals.append(residual)
+loss = 1e4 * torch.cat(residuals).pow(2).mean()
+loss.backward()
+np.savez_compressed(
+    os.path.join(OUT, "bptt_grads_96.npz"),
+    sos=sos,
+    loss=float(loss),
+    g_inc_c1_w=net.inc.double_conv[0].weight.grad.numpy(),
+    g_outc_w=net.outc.conv.weight.grad.numpy(),
+    g_enc0_state_c1_w=net.enc[0].conv_state.double_conv[0].weight.grad.numpy(),
+    g_up2_w=net.up[2].weight.grad.numpy(),
+    g_prelu_inc=net.inc.double_conv[1].weight.grad.numpy(),
+)
+print("bptt fixture: loss", float(loss))
