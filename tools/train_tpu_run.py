@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--val-maps", type=int, default=64)
     ap.add_argument("--precision", type=str, default="default")
     ap.add_argument("--tag", type=str, default="tpu_r1")
+    ap.add_argument("--lr", type=float, default=None)
     args = ap.parse_args()
 
     import dataclasses
@@ -38,6 +39,10 @@ def main():
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, precision=args.precision)
     )
+    if args.lr:
+        cfg = cfg.replace(
+            training=dataclasses.replace(cfg.training, learning_rate=args.lr)
+        )
 
     data_dir = os.path.join(os.path.dirname(__file__), "..", "datasets", args.tag)
     os.makedirs(data_dir, exist_ok=True)
