@@ -124,3 +124,16 @@ class TestTrainerSmoke:
         maps = make_dataset(4, imsize=32, seed=3)
         out = trainer.validate(maps, num_iterations=10, batch=4)
         assert np.isfinite(out["val_loss"])
+
+
+class TestGenerateDatasetCLI:
+    def test_cli_generates_splits(self, tmp_path):
+        from helmnet_tpu.cli.generate_dataset import main
+
+        out = str(tmp_path / "ds")
+        main(["--num", "12", "--imsize", "32", "--out", out,
+              "--splits", "8", "2", "2"])
+        from helmnet_tpu.data.ellipses import load_maps
+
+        assert load_maps(out + "/trainset.npz").shape == (8, 32, 32)
+        assert load_maps(out + "/testset.npz").shape == (2, 32, 32)
