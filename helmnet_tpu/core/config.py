@@ -112,6 +112,12 @@ class TrainingConfig:
     plateau_patience: int = 10
     # curriculum: allowed solve length = min(curriculum_slope*epoch + 1, max_iterations)
     curriculum_slope: int = 20
+    # probability that a restarted replay slot draws a random-circle source
+    # instead of the fixed training source. The reference trains fixed-source
+    # only (hybridnet.py:145-156) and validates on random circle sources
+    # (hybridnet.py:178-190); a nonzero value trains the generalization the
+    # validation measures (our extension — 0.0 reproduces the reference).
+    p_random_source: float = 0.0
 
     @staticmethod
     def from_json(d: dict) -> "TrainingConfig":
@@ -125,6 +131,7 @@ class TrainingConfig:
             train_batch_size=int(d.get("train batch size", 32)),
             test_batch_size=int(d.get("test batch size", 128)),
             weight_decay=float(d.get("weight_decay", 1e-6)),
+            p_random_source=float(d.get("p random source", 0.0)),
         )
 
 

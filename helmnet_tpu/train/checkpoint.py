@@ -163,6 +163,88 @@ def restore_checkpoint(directory: str, step: int, template):
         return ckptr.restore(path, item=template)
 
 
+def _manifest_path(directory: str) -> str:
+    return os.path.join(directory, "manifest.json")
+
+
+def _load_manifest(directory: str) -> dict:
+    import json
+
+    path = _manifest_path(directory)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"scores": {}, "last": None, "scheduler": {}}
+
+
+def _write_manifest(directory: str, manifest: dict) -> None:
+    import json
+
+    with open(_manifest_path(directory), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def update_topk(
+    directory: str,
+    step: int,
+    val_loss: float,
+    state,
+    k: int = 3,
+    extra: dict | None = None,
+) -> None:
+    """ModelCheckpoint(save_top_k=k, monitor='val_loss', save_last=True)
+    semantics (reference train.py:90-97): save this step, keep the k best
+    steps by val_loss plus the most recent one, delete the rest.
+
+    `extra` (JSON-serializable, e.g. plateau-scheduler state) is recorded in
+    the manifest per step so multi-segment runs resume the LR schedule.
+    """
+    import math
+    import shutil
+
+    save_checkpoint(directory, step, state)
+    manifest = _load_manifest(directory)
+    score = float(val_loss)
+    if not math.isfinite(score):
+        score = float("1e30")  # divergent val: eligible for pruning, not top-k
+    manifest["scores"][str(step)] = score
+    manifest["last"] = step
+    if extra is not None:
+        manifest.setdefault("scheduler", {})[str(step)] = extra
+    ranked = sorted(manifest["scores"].items(), key=lambda kv: kv[1])
+    keep = {int(s) for s, _ in ranked[:k]} | {step}
+    for name in os.listdir(directory):
+        if not name.startswith("step_"):
+            continue
+        try:
+            s = int(name.split("_", 1)[1])
+        except ValueError:
+            continue
+        if s not in keep and str(s) in manifest["scores"]:
+            shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
+    manifest["scores"] = {
+        s: v for s, v in manifest["scores"].items() if int(s) in keep
+    }
+    manifest["scheduler"] = {
+        s: v
+        for s, v in manifest.get("scheduler", {}).items()
+        if int(s) in keep
+    }
+    _write_manifest(directory, manifest)
+
+
+def best_step(directory: str):
+    """Step with the lowest recorded val_loss (restore-best for eval)."""
+    manifest = _load_manifest(directory)
+    if not manifest["scores"]:
+        return None
+    return int(min(manifest["scores"].items(), key=lambda kv: kv[1])[0])
+
+
+def manifest_extra(directory: str, step: int) -> dict | None:
+    return _load_manifest(directory).get("scheduler", {}).get(str(step))
+
+
 def latest_step(directory: str):
     if not os.path.isdir(directory):
         return None

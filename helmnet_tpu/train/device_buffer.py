@@ -47,17 +47,19 @@ def make_device_buffer_fns(cfg: Config, optimizer):
         }
 
     @jax.jit
-    def init_buffer(op, source_map, sos_maps, ages):
-        """Seed every slot from sos_maps [cap, H, W]; ages [cap] int32."""
-        cap = sos_maps.shape[0]
-        src = jnp.broadcast_to(source_map[None], (cap,) + source_map.shape)
+    def init_buffer(op, src_pool, src_idx, sos_maps, ages):
+        """Seed every slot from sos_maps [cap, H, W]; ages [cap] int32;
+        slot i gets source map src_pool[src_idx[i]] ([K, H, W, 2] pool —
+        index 0 is the training source, higher indices are the optional
+        random-circle curriculum sources)."""
+        src = src_pool[src_idx]
         exp = fresh_experiences(op, src, sos_maps)
         exp["source"] = src
         exp["iteration"] = ages.astype(jnp.int32)
         return exp
 
-    def mega_step(params, opt_state, buf, op, source_map, sos_pool,
-                  slot_idx, fresh_idx, pick, maxiter):
+    def mega_step(params, opt_state, buf, op, src_pool, sos_pool,
+                  slot_idx, fresh_idx, fresh_src_idx, pick, maxiter):
         # ---- gather the batch from the device buffer ----
         batch_wf = buf["wavefield"][slot_idx]
         batch_states = buf["states"][slot_idx]
@@ -94,9 +96,8 @@ def make_device_buffer_fns(cfg: Config, optimizer):
         # ---- re-admission gate + fresh restarts (on device) ----
         new_age = batch_age + pick + 1
         keep = (res_sq_mean < 1.0) & (new_age < maxiter)
-        bs = slot_idx.shape[0]
         fresh_sos = sos_pool[fresh_idx]
-        fresh_src = jnp.broadcast_to(source_map[None], (bs,) + source_map.shape)
+        fresh_src = src_pool[fresh_src_idx]
         fresh = fresh_experiences(op, fresh_src, fresh_sos)
 
         k4 = keep[:, None, None, None]
@@ -114,7 +115,9 @@ def make_device_buffer_fns(cfg: Config, optimizer):
             "residual": buf["residual"].at[slot_idx].set(
                 jnp.where(k4, ev_res, fresh["residual"])
             ),
-            "source": buf["source"].at[slot_idx].set(batch_src),
+            "source": buf["source"].at[slot_idx].set(
+                jnp.where(k4, batch_src, fresh_src)
+            ),
             "iteration": buf["iteration"].at[slot_idx].set(
                 jnp.where(keep, new_age, 0)
             ),

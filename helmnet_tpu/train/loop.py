@@ -119,6 +119,7 @@ class Trainer:
                 s.phase, s.omega, 0.0, s.smoothing,
             )
         )
+        self.src_pool = jnp.asarray(self._build_source_pool())
         self.optimizer = make_optimizer(cfg)
         self.opt_state = self.optimizer.init(self.params)
         self.capacity = cfg.training.buffer_size
@@ -241,29 +242,62 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _build_source_pool(self) -> np.ndarray:
+        """[K, H, W, 2] candidate training sources. Index 0 is the fixed
+        training source (hybridnet.py:145-156); when p_random_source > 0 the
+        distinct integer circle locations of the validation protocol
+        (hybridnet.py:178-190) fill the remaining indices so restarted replay
+        slots can draw unseen source positions during training."""
+        s = self.cfg.source
+        maps = [np.asarray(self.source_map)]
+        if self.cfg.training.p_random_source > 0:
+            L = self.height // 2
+            dL = L - self.cfg.geometry.pml_size - 2
+            locs = {
+                (int(L + dL * np.cos(t)), int(L + dL * np.sin(t)))
+                for t in np.linspace(0, 2 * np.pi, 720, endpoint=False)
+            }
+            for loc in sorted(locs):
+                maps.append(
+                    point_source_map(
+                        self.height, self.width, loc, s.amplitude,
+                        s.phase, s.omega, 0.0, s.smoothing,
+                    )
+                )
+        return np.stack(maps).astype(np.float32)
+
+    def _sample_src_idx(self, n: int) -> np.ndarray:
+        """Per-slot source-pool indices: fixed source with probability
+        1 - p_random_source, else a uniform random circle source."""
+        p = self.cfg.training.p_random_source
+        k = self.src_pool.shape[0]
+        if p <= 0 or k == 1:
+            return np.zeros(n, np.int64)
+        rand = self.rng.integers(1, k, size=n)
+        return np.where(self.rng.random(n) < p, rand, 0)
+
     def fill_buffer(self, sos_maps: np.ndarray):
         """Seed all slots with fresh problems; slot i gets starting age 10*i
         (hybridnet.py:199-218) so curriculum ages are spread out."""
         cap = self.capacity
+        src_idx = self._sample_src_idx(cap)
         if self.device_buffer:
             self._sos_pool = jnp.asarray(sos_maps)
             maps = sos_maps[np.arange(cap) % len(sos_maps)]
             self._dev_buf = self._init_dev_buffer(
-                self.op, self.source_map, jnp.asarray(maps),
-                jnp.arange(cap, dtype=jnp.int32) * 10,
+                self.op, self.src_pool, jnp.asarray(src_idx, jnp.int32),
+                jnp.asarray(maps), jnp.arange(cap, dtype=jnp.int32) * 10,
             )
             return
         maps = sos_maps[np.arange(cap) % len(sos_maps)]
         chunk = 64
-        src = np.broadcast_to(
-            np.asarray(self.source_map)[None],
-            (min(chunk, cap), self.height, self.width, 2),
-        )
+        pool_np = np.asarray(self.src_pool)
         for start in range(0, cap, chunk):
             sl = slice(start, min(start + chunk, cap))
             n = sl.stop - sl.start
+            src = pool_np[src_idx[sl]]
             exp = self._init_experiences(
-                self.op, jnp.asarray(src[:n]), jnp.asarray(maps[sl])
+                self.op, jnp.asarray(src), jnp.asarray(maps[sl])
             )
             exp = jax.device_get(exp)
             self.buffer.append_batch(
@@ -272,7 +306,7 @@ class Trainer:
                 exp["states"],
                 exp["k_sq"],
                 exp["residual"],
-                src[:n],
+                src,
                 np.arange(sl.start, sl.stop) * 10,
             )
 
@@ -315,13 +349,10 @@ class Trainer:
             fresh_sos = sos_batch[
                 self.rng.integers(len(sos_batch), size=bs)
             ]
+            fresh_src = np.asarray(self.src_pool)[self._sample_src_idx(bs)]
             fresh = jax.device_get(
                 self._init_experiences(
-                    self.op,
-                    jnp.broadcast_to(
-                        self.source_map[None], (bs, self.height, self.width, 2)
-                    ),
-                    jnp.asarray(fresh_sos),
+                    self.op, jnp.asarray(fresh_src), jnp.asarray(fresh_sos)
                 )
             )
             k = keep[:, None, None, None]
@@ -332,7 +363,7 @@ class Trainer:
                 np.where(keep[:, None, None], evolved["states"], fresh["states"]),
                 np.where(keep[:, None, None], batch.k_sq, fresh["k_sq"]),
                 np.where(k, evolved["residual"], fresh["residual"]),
-                src_np,  # fresh restarts reuse the default source (same map)
+                np.where(k, src_np, fresh_src),
                 np.where(keep, new_t, 0),
             )
             restarts += int((~keep).sum())
@@ -381,6 +412,7 @@ class Trainer:
             fresh_idx = jnp.asarray(
                 self.rng.integers(len(self._sos_pool), size=bs), jnp.int32
             )
+            fresh_src_idx = jnp.asarray(self._sample_src_idx(bs), jnp.int32)
             pick = jnp.asarray(int(self.rng.integers(t.unrolling_steps)))
             (
                 self.params,
@@ -389,8 +421,8 @@ class Trainer:
                 metrics,
             ) = self._mega_step(
                 self.params, self.opt_state, self._dev_buf, self.op,
-                self.source_map, self._sos_pool, slot_idx, fresh_idx, pick,
-                jnp.asarray(maxiter),
+                self.src_pool, self._sos_pool, slot_idx, fresh_idx,
+                fresh_src_idx, pick, jnp.asarray(maxiter),
             )
             step_metrics.append(metrics)
             self.global_step += 1
@@ -408,24 +440,50 @@ class Trainer:
         dL = L - self.cfg.geometry.pml_size - 2
         return (int(L + dL * np.cos(theta)), int(L + dL * np.sin(theta)))
 
-    def validate(self, val_maps: np.ndarray, num_iterations=None, batch=8) -> dict:
+    def make_val_sources(self, n: int, seed: int = 1234) -> np.ndarray:
+        """Fixed random-circle validation sources [n, H, W, 2]: a dedicated
+        seed keeps the set identical across epochs so in-run top-k selection
+        compares checkpoints on the same problems (eval protocol parity)."""
+        s = self.cfg.source
+        rng = np.random.default_rng(seed)
+        L = self.height // 2
+        dL = L - self.cfg.geometry.pml_size - 2
+        out = []
+        for _ in range(n):
+            th = 2 * np.pi * rng.random()
+            loc = (int(L + dL * np.cos(th)), int(L + dL * np.sin(th)))
+            out.append(
+                point_source_map(
+                    self.height, self.width, loc, s.amplitude, s.phase,
+                    s.omega, 0.0, s.smoothing,
+                )
+            )
+        return np.stack(out).astype(np.float32)
+
+    def validate(
+        self, val_maps: np.ndarray, num_iterations=None, batch=8, sources=None
+    ) -> dict:
         """Full rollouts from random circle sources; terminal residual RMSE
-        (hybridnet.py:333-376)."""
+        (hybridnet.py:333-376). Pass `sources` [N, H, W, 2] for a fixed
+        validation set (comparable val_loss across epochs)."""
         s = self.cfg.source
         iters = num_iterations or self.cfg.max_iterations
         rmses = []
         for start in range(0, len(val_maps), batch):
             maps = val_maps[start : start + batch]
-            locs = [self.random_circle_location() for _ in range(len(maps))]
-            src = np.stack(
-                [
-                    point_source_map(
-                        self.height, self.width, loc, s.amplitude, s.phase,
-                        s.omega, 0.0, s.smoothing,
-                    )
-                    for loc in locs
-                ]
-            )
+            if sources is not None:
+                src = np.asarray(sources[start : start + batch])
+            else:
+                locs = [self.random_circle_location() for _ in range(len(maps))]
+                src = np.stack(
+                    [
+                        point_source_map(
+                            self.height, self.width, loc, s.amplitude, s.phase,
+                            s.omega, 0.0, s.smoothing,
+                        )
+                        for loc in locs
+                    ]
+                )
             out = rollout(
                 self.params,
                 self.op,
@@ -457,23 +515,47 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def save(self, directory: str):
-        from .checkpoint import save_checkpoint
-
-        state = {
+    def _train_state(self):
+        return {
             "params": self.params,
             "opt_state": self.opt_state,
             "epoch": self.epoch,
             "global_step": self.global_step,
         }
-        save_checkpoint(directory, self.epoch, state)
 
-    def restore(self, directory: str) -> bool:
+    def _scheduler_state(self) -> dict:
+        s = self.scheduler
+        return {"lr": s.lr, "best": s.best, "bad_epochs": s.bad_epochs}
+
+    def save(self, directory: str):
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(directory, self.epoch, self._train_state())
+
+    def save_topk(self, directory: str, val_loss: float, k: int = 3):
+        """ModelCheckpoint(save_top_k=k on val_loss, save_last) semantics
+        (reference train.py:90-97): keep the k best validation checkpoints
+        plus the latest; prune the rest; persist LR-scheduler state."""
+        from .checkpoint import update_topk
+
+        update_topk(
+            directory, self.epoch, val_loss, self._train_state(), k=k,
+            extra=self._scheduler_state(),
+        )
+
+    def restore(self, directory: str, best: bool = False) -> bool:
         """Resume from the latest orbax checkpoint in `directory`
-        (the reference's resume-from-last.ckpt story, README.md:31)."""
-        from .checkpoint import latest_step, restore_checkpoint
+        (the reference's resume-from-last.ckpt story, README.md:31);
+        `best=True` restores the lowest-val_loss checkpoint instead
+        (Lightning's best-model restore for eval)."""
+        from .checkpoint import (
+            best_step,
+            latest_step,
+            manifest_extra,
+            restore_checkpoint,
+        )
 
-        step = latest_step(directory)
+        step = best_step(directory) if best else latest_step(directory)
         if step is None:
             return False
         template = {
@@ -487,6 +569,11 @@ class Trainer:
         self.opt_state = state["opt_state"]
         self.epoch = int(state["epoch"])
         self.global_step = int(state["global_step"])
+        sched = manifest_extra(directory, step)
+        if sched:
+            self.scheduler.lr = float(sched["lr"])
+            self.scheduler.best = float(sched["best"])
+            self.scheduler.bad_epochs = int(sched["bad_epochs"])
         return True
 
     def fit(
@@ -497,7 +584,12 @@ class Trainer:
         val_every: int = 2,
         val_iterations: Optional[int] = None,
         ckpt_dir: Optional[str] = None,
+        top_k: int = 3,
     ):
+        """Reference Trainer.fit analog: train epochs, validate every
+        `val_every` epochs on a FIXED random-circle source set, and keep the
+        `top_k` best checkpoints by val_loss plus the last one
+        (ModelCheckpoint semantics, train.py:90-97)."""
         if ckpt_dir:
             self.restore(ckpt_dir)
         if self.device_buffer:
@@ -505,12 +597,19 @@ class Trainer:
                 self.fill_buffer(train_maps)
         elif self.buffer is None or not np.any(self.buffer.k_sq):
             self.fill_buffer(train_maps)
+        val_sources = (
+            self.make_val_sources(len(val_maps)) if val_maps is not None else None
+        )
         history = []
         for _ in range(num_epochs):
             stats = self.training_epoch(train_maps)
             if val_maps is not None and self.epoch % val_every == 0:
-                stats.update(self.validate(val_maps, val_iterations))
-            if ckpt_dir:
-                self.save(ckpt_dir)
+                stats.update(
+                    self.validate(val_maps, val_iterations, sources=val_sources)
+                )
+                if ckpt_dir:
+                    self.save_topk(ckpt_dir, stats["val_loss"], k=top_k)
+            elif ckpt_dir:
+                self.save_topk(ckpt_dir, float("inf"), k=top_k)
             history.append(stats)
         return history

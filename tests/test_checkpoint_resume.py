@@ -34,3 +34,47 @@ class TestResume:
     def test_restore_empty_dir(self, tmp_path):
         t = Trainer(tiny_config())
         assert not t.restore(str(tmp_path))
+
+    def test_topk_checkpointing(self, tmp_path):
+        """ModelCheckpoint(top_k=2, save_last) semantics: keep the 2 best
+        val_loss steps + the latest; prune others; restore(best=True) picks
+        the lowest val_loss; scheduler LR state persists in the manifest."""
+        import os
+
+        from helmnet_tpu.train.checkpoint import best_step, latest_step
+
+        cfg = tiny_config()
+        t = Trainer(cfg)
+        directory = str(tmp_path)
+        # epochs 1..5 with val losses: best at epoch 3 (0.1), then 2 (0.2)
+        for epoch, vl in [(1, 0.5), (2, 0.2), (3, 0.1), (4, 0.9), (5, 0.8)]:
+            t.epoch = epoch
+            t.scheduler.lr = 1e-3 / epoch
+            t.save_topk(directory, vl, k=2)
+        kept = sorted(
+            int(d.split("_")[1])
+            for d in os.listdir(directory)
+            if d.startswith("step_")
+        )
+        assert kept == [2, 3, 5]  # top-2 {3, 2} + last {5}
+        assert best_step(directory) == 3
+        assert latest_step(directory) == 5
+
+        t2 = Trainer(cfg)
+        assert t2.restore(directory, best=True)
+        assert t2.epoch == 3
+        assert t2.scheduler.lr == 1e-3 / 3  # scheduler state restored
+
+    def test_fit_topk_prunes(self, tmp_path):
+        """fit() with val_every + top_k leaves <= k+1 checkpoint dirs."""
+        import os
+
+        cfg = tiny_config()
+        maps = make_dataset(6, 32, seed=0)
+        t = Trainer(cfg, device_buffer=True)
+        t.fit(
+            maps, val_maps=maps[:2], num_epochs=5, val_every=1,
+            val_iterations=5, ckpt_dir=str(tmp_path), top_k=2,
+        )
+        kept = [d for d in os.listdir(tmp_path) if d.startswith("step_")]
+        assert 1 <= len(kept) <= 3

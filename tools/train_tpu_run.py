@@ -1,8 +1,14 @@
-"""Round-1 TPU training run: from-scratch unsupervised training at the
-reference configuration (96^2, buffer 600, batch 32, unroll 10), bounded by
-wall-clock. Artifacts: runs/tpu_r1/ (JSONL log), checkpoints/tpu_r1/.
+"""TPU training run at the reference configuration (96^2, buffer 600,
+batch 32, unroll 10), bounded by wall-clock, with in-run top-k validation
+checkpointing (ModelCheckpoint semantics, reference train.py:90-97).
 
-    python tools/train_tpu_run.py --hours 2.0
+Round-2 recipe (VERDICT.md item 1): bf16 network precision, full 9000-map
+dataset, lr 1e-3 with plateau decay, random-source curriculum
+(--p-random-source) so training directly optimizes the random-circle
+generalization the validation protocol measures.
+
+    python tools/train_tpu_run.py --hours 5 --tag tpu_r2a \
+        --train-maps 9000 --lr 1e-3 --p-random-source 0.5
 """
 
 import argparse
@@ -18,11 +24,16 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=float, default=2.0)
-    ap.add_argument("--train-maps", type=int, default=2600)
+    ap.add_argument("--train-maps", type=int, default=9000)
     ap.add_argument("--val-maps", type=int, default=64)
     ap.add_argument("--precision", type=str, default="default")
-    ap.add_argument("--tag", type=str, default="tpu_r1")
+    ap.add_argument("--tag", type=str, default="tpu_r2")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--p-random-source", type=float, default=0.0)
+    ap.add_argument("--top-k", type=int, default=3)
+    ap.add_argument("--val-every", type=int, default=10)
+    ap.add_argument("--val-iters", type=int, default=500)
+    ap.add_argument("--max-epochs", type=int, default=None)
     args = ap.parse_args()
 
     import dataclasses
@@ -37,12 +48,14 @@ def main():
 
     cfg = Config()
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, precision=args.precision)
+        model=dataclasses.replace(cfg.model, precision=args.precision),
+        training=dataclasses.replace(
+            cfg.training,
+            p_random_source=args.p_random_source,
+            **({"learning_rate": args.lr} if args.lr else {}),
+            **({"max_epochs": args.max_epochs} if args.max_epochs else {}),
+        ),
     )
-    if args.lr:
-        cfg = cfg.replace(
-            training=dataclasses.replace(cfg.training, learning_rate=args.lr)
-        )
 
     data_dir = os.path.join(os.path.dirname(__file__), "..", "datasets", args.tag)
     os.makedirs(data_dir, exist_ok=True)
@@ -55,6 +68,7 @@ def main():
         maps = make_dataset(args.train_maps + args.val_maps, 96, seed=42)
         train_maps, val_maps = maps[: args.train_maps], maps[args.train_maps :]
         np.savez_compressed(cache, train=train_maps, val=val_maps)
+    print(f"train maps {len(train_maps)}  val maps {len(val_maps)}", flush=True)
 
     log_dir = os.path.join(os.path.dirname(__file__), "..", "runs", args.tag)
     ckpt_dir = os.path.join(
@@ -62,8 +76,10 @@ def main():
     )
     trainer = Trainer(cfg, log_dir=log_dir, device_buffer=True)
     if trainer.restore(ckpt_dir):
-        print(f"resumed at epoch {trainer.epoch}", flush=True)
+        print(f"resumed at epoch {trainer.epoch}  lr {trainer.scheduler.lr:.2e}",
+              flush=True)
     trainer.fill_buffer(train_maps)
+    val_sources = trainer.make_val_sources(len(val_maps))
 
     deadline = time.time() + args.hours * 3600
     while time.time() < deadline and trainer.epoch < cfg.training.max_epochs:
@@ -71,15 +87,23 @@ def main():
         print(
             f"epoch {stats['epoch']:4d}  loss {stats['train_loss_mean']:.4e}  "
             f"maxiter {stats['maxiter']:4d}  new_sos {stats['new_sos']:3d}  "
-            f"{stats['epoch_time_s']:.1f}s",
+            f"lr {stats['lr']:.1e}  {stats['epoch_time_s']:.1f}s",
             flush=True,
         )
-        if trainer.epoch % 10 == 0:
-            v = trainer.validate(val_maps, num_iterations=300, batch=32)
+        if trainer.epoch % args.val_every == 0:
+            v = trainer.validate(
+                val_maps, num_iterations=args.val_iters, batch=32,
+                sources=val_sources,
+            )
             print(f"  val_loss {v['val_loss']:.4e}", flush=True)
-            trainer.save(ckpt_dir)
-    trainer.save(ckpt_dir)
-    print("done at epoch", trainer.epoch, flush=True)
+            trainer.save_topk(ckpt_dir, v["val_loss"], k=args.top_k)
+    # final save (save_last; never the best unless it also validates best)
+    v = trainer.validate(
+        val_maps, num_iterations=args.val_iters, batch=32, sources=val_sources
+    )
+    trainer.save_topk(ckpt_dir, v["val_loss"], k=args.top_k)
+    print(f"done at epoch {trainer.epoch}  final val_loss {v['val_loss']:.4e}",
+          flush=True)
 
 
 if __name__ == "__main__":
