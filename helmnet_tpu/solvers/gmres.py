@@ -142,7 +142,9 @@ def make_helmholtz_matvec(op, k_sq: jax.Array, mode: str = "matmul"):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "restart", "max_restarts", "tol")
+    jax.jit,
+    static_argnames=("mode", "restart", "max_restarts", "tol", "precond",
+                     "shift"),
 )
 def solve_helmholtz(
     op,
@@ -153,6 +155,8 @@ def solve_helmholtz(
     restart: int = 20,
     max_restarts: int = 50,
     tol: float = 1e-10,
+    precond: str = "none",
+    shift: tuple = (1.0, 0.5),
 ) -> GMRESResult:
     """Solve (L + k^2) u = s for one problem.
 
@@ -160,7 +164,13 @@ def solve_helmholtz(
     Returns channel-pair fields x/checkpoints of shape [..., H, W, 2].
     The reference drives MATLAB with `source amplitude 10` and tol 1e-10
     (support_functions.py:385-408); f32 stagnates near 1e-6 relative — use
-    x64 on CPU for tighter tolerances.
+    x64 on CPU or solvers/precond.solve_helmholtz_refined for tighter.
+
+    precond='shifted_laplace' right-preconditions with the FFT-diagonal
+    complex shifted Laplacian (solvers/precond.py) — the standard Helmholtz
+    Krylov accelerator; essential at high wavenumber where the bare operator
+    stalls GMRES. Residual norms remain TRUE residuals of the original
+    system (right preconditioning).
     """
     if source.ndim == 3 and source.shape[-1] == 2:
         b = jax.lax.complex(source[..., 0], source[..., 1])
@@ -170,9 +180,21 @@ def solve_helmholtz(
         if not jnp.iscomplexobj(b):
             b = b.astype(jnp.complex64)
     mv = make_helmholtz_matvec(op, k_sq, mode)
-    res = gmres_restarted(
-        mv, b, restart=restart, max_restarts=max_restarts, tol=tol
-    )
+    if precond == "shifted_laplace":
+        from .precond import make_shifted_laplace_inverse
+
+        minv = make_shifted_laplace_inverse(op, k_sq, shift)
+        res = gmres_restarted(
+            lambda v: mv(minv(v)), b,
+            restart=restart, max_restarts=max_restarts, tol=tol,
+        )
+        res = res._replace(
+            x=minv(res.x), checkpoints=jax.vmap(minv)(res.checkpoints)
+        )
+    else:
+        res = gmres_restarted(
+            mv, b, restart=restart, max_restarts=max_restarts, tol=tol
+        )
     # return channel-pair fields: complex host<->device transfers are not
     # supported on all TPU runtimes
     as_pair = lambda c: jnp.stack([c.real, c.imag], axis=-1)

@@ -297,8 +297,27 @@ class IterativeSolver:
         num_iterations: Optional[int] = None,
         collect: tuple = ("rmse",),
         decimate: int = 1,
+        *,
+        normalize_source: bool = True,
+        best_iterate: bool = True,
     ):
-        """Run the learned solver. sos_maps: [B, H, W] (or [H, W])."""
+        """Run the learned solver. sos_maps: [B, H, W] (or [H, W]).
+
+        Robustness wrappers for out-of-distribution problems (both default
+        ON; the raw trajectory is available via `rollout`):
+
+        * `normalize_source` — the network is trained on amplitude-10 point
+          sources (experiments/base.json); arbitrary user source maps are
+          rescaled per-sample so max |s| matches the training amplitude, the
+          linear problem is solved at that scale, and every returned field /
+          residual / rmse is scaled back to the user's source. Extended or
+          re-scaled sources (e.g. the 512^2 skull arc transducer) stay in
+          the network's input distribution this way.
+        * `best_iterate` — long OOD rollouts can oscillate after reaching
+          their best residual; `out['wavefield']` is the minimum-residual
+          iterate (the robust answer and the GMRES warm start), with the
+          raw final under `out['final_wavefield']`.
+        """
         sos = jnp.asarray(sos_maps, jnp.float32)
         if sos.ndim == 2:
             sos = sos[None]
@@ -306,16 +325,44 @@ class IterativeSolver:
         source = self.source
         if source.shape[0] == 1 and sos.shape[0] > 1:
             source = jnp.broadcast_to(source, (sos.shape[0],) + source.shape[1:])
-        return rollout(
+        scale = None
+        if normalize_source:
+            amp = jnp.max(
+                jnp.sqrt(source[..., 0] ** 2 + source[..., 1] ** 2), axis=(1, 2)
+            )  # [B] peak complex amplitude per sample
+            scale = jnp.where(amp > 0, self.cfg.source.amplitude / amp, 1.0)
+            source = source * scale[:, None, None, None]
+        eff_collect = tuple(collect)
+        if best_iterate and "best" not in eff_collect:
+            eff_collect = eff_collect + ("best",)
+        out = rollout(
             self.params,
             self.op,
             source,
             sos,
             cfg=self.cfg,
             num_iterations=iters,
-            collect=collect,
+            collect=eff_collect,
             decimate=decimate,
         )
+        if scale is not None:
+            # undo the linear rescale on every solution-linear output
+            inv = 1.0 / scale
+            for key, bcast in (
+                ("wavefield", inv[:, None, None, None]),
+                ("residual", inv[:, None, None, None]),
+                ("best_wavefield", inv[:, None, None, None]),
+                ("wavefields", inv[None, :, None, None, None]),
+                ("residuals", inv[None, :, None, None, None]),
+                ("rmse", inv[None, :]),
+                ("best_rmse", inv),
+            ):
+                if key in out:
+                    out[key] = out[key] * bcast
+        if best_iterate:
+            out["final_wavefield"] = out["wavefield"]
+            out["wavefield"] = out["best_wavefield"]
+        return out
 
     @classmethod
     def from_reference_checkpoint(cls, path: str, config: Optional[Config] = None):

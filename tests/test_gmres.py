@@ -178,3 +178,71 @@ class TestEarlyExit:
         got = np.stack([np.asarray(x.real), np.asarray(x.imag)], -1)
         scale = np.abs(xf).max()
         np.testing.assert_allclose(got, xf, atol=1e-3 * scale)
+
+
+class TestPreconditioned:
+    def test_shifted_laplace_accelerates(self):
+        """CSLP right preconditioning: converges where bare GMRES stalls.
+
+        At 96^2 / omega 1 (~15 wavelengths across), GMRES(30)x6 without a
+        preconditioner stalls around 1e-1 relative; with the FFT-diagonal
+        shifted Laplacian it passes 1e-3 (measured 1.7e-4)."""
+        n = 96
+        op = make_operator(n, n, 8, 2.0, 1.0)
+        import jax.numpy as jnp
+
+        k_sq = jnp.full((n, n), 1.0)
+        src = jnp.asarray(point_source_map(n, n, (n // 2, n // 2), 10.0))
+        kw = dict(restart=30, max_restarts=6, tol=1e-12)
+        bare = gmres.solve_helmholtz(op, k_sq, src, precond="none", **kw)
+        pre = gmres.solve_helmholtz(
+            op, k_sq, src, precond="shifted_laplace", **kw
+        )
+        rel = lambda r: float(r.residual_norms[-1] / r.residual_norms[0])
+        assert rel(pre) < 1e-3
+        assert rel(pre) < rel(bare) / 50
+
+    def test_preconditioned_solves_same_system(self):
+        """Right preconditioning must not change the solution."""
+        op, k_sq, src, n, pml = problem()
+        res = gmres.solve_helmholtz(
+            op, k_sq, src, restart=30, max_restarts=40, tol=1e-7,
+            precond="shifted_laplace",
+        )
+        M = assemble_dense(n, n, pml, 2.0, 1.0, k_sq=k_sq)
+        b = (src[..., 0] + 1j * src[..., 1]).ravel()
+        u_direct = np.linalg.solve(M, b).reshape(n, n)
+        xp = np.asarray(res.x)
+        got = xp[..., 0] + 1j * xp[..., 1]
+        scale = np.abs(u_direct).max()
+        np.testing.assert_allclose(got, u_direct, atol=2e-3 * scale)
+
+
+class TestIterativeRefinement:
+    def test_reaches_1e10(self):
+        """Mixed-precision refinement: f64 defect + f32 inner GMRES reaches
+        the MATLAB tol 1e-10 (spectral_gmres_solver.m:96-98) without any
+        f64 device solves."""
+        from helmnet_tpu.core.config import Config
+        from helmnet_tpu.solvers.precond import solve_helmholtz_refined
+
+        cfg = Config()
+        n, omega = 64, 1.0
+        g = cfg.geometry
+        op = make_operator(n, n, g.pml_size, g.sigma_max, omega)
+        sos = np.ones((n, n), np.float32)
+        sos[20:40, 20:40] = 1.8
+        k_sq = (omega / sos) ** 2
+        src = point_source_map(n, n, (n - 10, n // 2), 10.0)
+        x, norms = solve_helmholtz_refined(
+            op, g, omega, k_sq, src, tol=1e-10,
+            inner_restart=40, inner_max_restarts=8, max_outer=10,
+        )
+        assert norms[-1] / norms[0] < 1e-10
+        # true f64 residual of the returned solution
+        from helmnet_tpu.solvers.precond import _HostOperator
+
+        host = _HostOperator(n, n, g.pml_size, g.sigma_max, omega, k_sq)
+        b = src[..., 0] + 1j * src[..., 1]
+        r = np.linalg.norm(b - host(x)) / np.linalg.norm(b)
+        assert r < 1e-10
