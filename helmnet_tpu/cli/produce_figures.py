@@ -22,6 +22,13 @@ def main(argv=None):
     p.add_argument("--num-samples", type=int, default=20)
     p.add_argument("--iterations", type=int, default=500)
     p.add_argument("--examples", type=int, default=2)
+    p.add_argument(
+        "--truth-histograms", action="store_true", default=True,
+        help="error-distribution histograms/boxplot vs f64 ground truth",
+    )
+    p.add_argument(
+        "--no-truth-histograms", dest="truth_histograms", action="store_false"
+    )
     p.add_argument("--large", action="store_true", help="512^2 large example")
     p.add_argument("--skull", action="store_true", help="skull example figure")
     p.add_argument("--platform", type=str, default=None)
@@ -62,7 +69,7 @@ def main(argv=None):
     print("figure: mosaic ->", figures.fig_testset_mosaic(finals, out_dir=args.out))
 
     print("comparing against GMRES ...")
-    linfs = []
+    linfs, cmps = [], []
     for i in range(len(maps)):
         cmp = compare_solvers(
             solver, maps[i], num_iterations=args.iterations,
@@ -70,6 +77,7 @@ def main(argv=None):
             gmres_restart=50, gmres_max_restarts=20, gmres_tol=1e-7,
         )
         linfs.append(cmp.linf)
+        cmps.append(cmp)
         if i < args.examples:
             print(
                 "figure: example ->",
@@ -78,6 +86,57 @@ def main(argv=None):
     print("figure: histogram ->",
           figures.fig_error_histograms(np.array(linfs), args.out))
     print(f"l_inf vs GMRES: median {np.median(linfs):.2e} max {np.max(linfs):.2e}")
+
+    # error-vs-residual scatter + residual/l_inf overlay traces
+    # (produce_figures.py:77-176 counterparts)
+    res_at = np.stack([c.model_residual_at_trace for c in cmps])
+    model_linf = np.stack([c.model_linf_trace for c in cmps])
+    print("figure: error vs residual ->",
+          figures.fig_error_vs_residual(res_at, model_linf, args.out))
+    print(
+        "figure: overlay traces ->",
+        figures.fig_residual_and_error_overlay(
+            np.stack([c.model_residual_rmse for c in cmps]),
+            model_linf,
+            np.stack([c.gmres_residual_norms for c in cmps]),
+            np.stack([c.gmres_linf_trace for c in cmps]),
+            total_iterations=args.iterations,
+            out_dir=args.out,
+        ),
+    )
+
+    if args.truth_histograms:
+        # error distributions vs an independent f64 ground truth
+        # (produce_figures.py:178-276 family; truth = mixed-precision
+        # iterative refinement to 1e-10, solvers/precond.py)
+        from ..eval.harness import field_difference, linf_and_rmse
+        from ..solvers.precond import solve_helmholtz_refined
+
+        loc = tuple(solver.cfg.source.location)
+        lm, rm, lg, rg = [], [], [], []
+        print("f64 ground-truth solves for error histograms ...")
+        for i, c in enumerate(cmps):
+            k_sq = (solver.cfg.source.omega / maps[i]) ** 2
+            truth, _ = solve_helmholtz_refined(
+                solver.op, solver.cfg.geometry, solver.cfg.k0, k_sq,
+                np.asarray(solver.source[0]), tol=1e-10,
+                inner_restart=50, inner_max_restarts=8,
+            )
+            for field, ls, rs in ((c.model_wavefield, lm, rm),
+                                  (c.gmres_wavefield, lg, rg)):
+                diff, _, _ = field_difference(field, truth, loc)
+                li, rmse_ = linf_and_rmse(diff)
+                ls.append(float(li))
+                rs.append(float(rmse_))
+        print(
+            "figure: error distributions ->",
+            figures.fig_error_histograms_boxplot(
+                np.array(lm), np.array(rm), np.array(lg), np.array(rg),
+                out_dir=args.out,
+            ),
+        )
+        print(f"vs f64 truth: learned l_inf median {np.median(lm):.2e}, "
+              f"GMRES l_inf median {np.median(lg):.2e}")
 
     if args.large:
         print("figure: large ->", figures.fig_large_example(solver, args.out))

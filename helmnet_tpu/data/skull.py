@@ -13,10 +13,11 @@ Python/scipy re-implementation of the reference MATLAB pipeline
   5. rescale to the solver's nondimensional sos range [1, 2]
      (skull_example.m rescale before saving problem_setup.mat).
 
-DICOM reading is out of scope for this image (no pydicom baked in); the
-pipeline consumes HU arrays. `synthetic_skull_ct` builds a realistic
-two-layer phantom for examples/tests. `make_arc_source` is the k-Wave
-makeArc equivalent (skull_example.m:80) for transducer sources.
+CT input: HU arrays directly, or DICOM via data/dicom.py (the reference's
+dicomread step, skull_example.m:11-13) — `medium_from_dicom` goes straight
+from a .dcm slice to the acoustic medium. `synthetic_skull_ct` builds a
+realistic two-layer phantom for examples/tests. `make_arc_source` is the
+k-Wave makeArc equivalent (skull_example.m:80) for transducer sources.
 """
 
 from __future__ import annotations
@@ -96,6 +97,14 @@ def ct_to_medium(
         skull_mask=skull,
         head_mask=head,
     )
+
+
+def medium_from_dicom(path: str, **kw) -> MediumConversion:
+    """DICOM CT slice -> acoustic medium (the skull_example.m:11-17 flow:
+    dicomread + rescale -> skull2medium)."""
+    from .dicom import read_dicom_hu
+
+    return ct_to_medium(read_dicom_hu(path), **kw)
 
 
 def synthetic_skull_ct(size: int = 512, seed: int = 0) -> np.ndarray:

@@ -105,6 +105,13 @@ class SolverComparison:
     gmres_residual_norms: np.ndarray  # per restart cycle
     linf: float  # final model-vs-GMRES l_inf
     rmse: float
+    # GMRES per-restart-checkpoint l_inf/RMSE vs its own converged solution
+    # (the convergence-trace analog of the reference's get_gmres_errors)
+    gmres_linf_trace: Optional[np.ndarray] = None
+    gmres_rmse_trace: Optional[np.ndarray] = None
+    # model physics residual sampled at the same iterations as the l_inf
+    # trace (for the error-vs-residual figure)
+    model_residual_at_trace: Optional[np.ndarray] = None
 
 
 def compare_solvers(
@@ -137,6 +144,7 @@ def compare_solvers(
     loc = tuple(solver.cfg.source.location)
     u_g = normalize_wavefield(np.asarray(g.x), loc)
     linf_trace, rmse_trace = error_traces(wfs, u_g, loc, pml_crop)
+    g_linf, g_rmse = error_traces(np.asarray(g.checkpoints), u_g, loc, pml_crop)
     u_m = normalize_wavefield(wfs[-1], loc)
     return SolverComparison(
         model_wavefield=u_m,
@@ -147,4 +155,7 @@ def compare_solvers(
         gmres_residual_norms=np.asarray(g.residual_norms),
         linf=float(linf_trace[-1]),
         rmse=float(rmse_trace[-1]),
+        gmres_linf_trace=g_linf,
+        gmres_rmse_trace=g_rmse,
+        model_residual_at_trace=res_rmse[decimate - 1 :: decimate],
     )

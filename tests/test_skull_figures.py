@@ -92,3 +92,46 @@ class TestFigures:
         )
         p = figures.fig_example(cmp, sos, str(tmp_path))
         assert os.path.exists(p) and os.path.getsize(p) > 10000
+
+    def test_new_figure_families_render(self, tmp_path):
+        """error-vs-residual, residual+l_inf overlay, histograms/boxplot
+        (the produce_figures.py:77-276 families)."""
+        from helmnet_tpu.eval import figures
+
+        rng = np.random.default_rng(3)
+        out = str(tmp_path)
+        n, t = 12, 20
+        res = np.abs(rng.standard_normal((n, t))) * \
+            np.exp(-np.arange(t) / 4)[None] + 1e-6
+        linf = res * (0.5 + rng.random((n, t)))
+        p1 = figures.fig_error_vs_residual(res, linf, out)
+        gm = np.abs(rng.standard_normal((n, 6))) * \
+            np.exp(-np.arange(6))[None] + 1e-8
+        p2 = figures.fig_residual_and_error_overlay(
+            res, linf, gm, gm * 2.0, total_iterations=t, out_dir=out
+        )
+        p3 = figures.fig_error_histograms_boxplot(
+            linf[:, -1], res[:, -1], linf[:, -1] * 0.1, res[:, -1] * 0.1,
+            out_dir=out,
+        )
+        for p in (p1, p2, p3):
+            assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+    def test_compare_solvers_new_traces(self):
+        """compare_solvers exposes GMRES error traces + aligned residual."""
+        ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+        if not os.path.exists(ckpt):
+            pytest.skip("reference checkpoint not available")
+        from helmnet_tpu.eval.harness import compare_solvers
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+
+        solver = IterativeSolver.from_reference_checkpoint(ckpt)
+        sos = np.ones((96, 96), np.float32)
+        sos[40:60, 30:70] = 1.5
+        cmp = compare_solvers(
+            solver, sos, num_iterations=100, decimate=10,
+            gmres_restart=40, gmres_max_restarts=10, gmres_tol=1e-6,
+        )
+        assert cmp.gmres_linf_trace is not None
+        assert cmp.gmres_linf_trace[-1] < 1e-3  # checkpoints -> converged
+        assert cmp.model_residual_at_trace.shape == cmp.model_linf_trace.shape
