@@ -27,12 +27,26 @@ def main(argv=None):
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process run: jax.distributed.initialize "
+                        "(auto-detect on TPU pods, or pass --coordinator/"
+                        "--num-processes/--process-id)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (multihost)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from ..distributed import multihost
+
+        multihost.initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
     import jax
 
     from ..core.config import Config, ParallelConfig

@@ -18,7 +18,34 @@ from .config import ParallelConfig
 
 
 def make_mesh(parallel: Optional[ParallelConfig] = None, devices=None) -> Mesh:
+    """Build the (data, y, x) device mesh.
+
+    Multi-process (after jax.distributed.initialize): the data axis is laid
+    out hierarchically so its major dimension strides across processes (DCN)
+    and its minor dimension stays within each process's local devices (ICI)
+    — gradient all-reduces become hierarchical reduce-scatter/all-gather
+    without any change to the (data, y, x) partition specs used everywhere.
+    """
     parallel = parallel or ParallelConfig()
+    if devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        nproc = jax.process_count()
+        if parallel.data % nproc:
+            raise ValueError(
+                f"data axis ({parallel.data}) must be divisible by the "
+                f"process count ({nproc})"
+            )
+        # granule = slice on real multi-slice TPU topologies (devices carry
+        # slice_index), = process otherwise (CPU clusters, single-slice pods)
+        multi_slice = len({getattr(d, "slice_index", 0)
+                           for d in jax.devices()}) == nproc
+        devs = mesh_utils.create_hybrid_device_mesh(
+            (parallel.data // nproc, parallel.y, parallel.x),
+            (nproc, 1, 1),
+            process_is_granule=not multi_slice,
+        )
+        return Mesh(devs, axis_names=("data", "y", "x"))
     devices = devices if devices is not None else jax.devices()
     n = parallel.num_devices
     if n > len(devices):
@@ -44,8 +71,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Optional[Mesh], tree):
-    """Place a pytree of [B, ...] arrays with the batch axis sharded."""
+    """Place a pytree of [B, ...] arrays with the batch axis sharded.
+
+    Multi-process safe: every process passes the full (replicated host)
+    batch; only the addressable shards are materialized locally."""
     if mesh is None:
         return tree
+    from ..distributed.multihost import put_global
+
     s = data_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+    return jax.tree.map(lambda a: put_global(a, s), tree)

@@ -147,7 +147,12 @@ def load_reference_checkpoint(path: str) -> Tuple[dict, Config]:
 
 
 def save_checkpoint(directory: str, step: int, state) -> None:
-    """Save a train-state pytree with orbax (multi-host safe)."""
+    """Save a train-state pytree with orbax.
+
+    Multi-host: every process calls this with its (replicated or sharded)
+    global arrays; orbax coordinates the distributed write. `directory`
+    must be on a filesystem all hosts can reach.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"step_{step}"))
@@ -155,11 +160,22 @@ def save_checkpoint(directory: str, step: int, state) -> None:
         ckptr.save(path, state, force=True)
 
 
-def restore_checkpoint(directory: str, step: int, template):
+def restore_checkpoint(directory: str, step: int, template, sharded=False):
+    """Restore into `template`'s structure.
+
+    sharded=True: template leaves must be jax.Arrays carrying the TARGET
+    shardings (e.g. replicated over a multi-host mesh, or data-sharded);
+    orbax restores each leaf directly onto those shardings — the multi-host
+    resume path (no host-side gather)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"step_{step}"))
     with ocp.PyTreeCheckpointer() as ckptr:
+        if sharded:
+            from orbax.checkpoint import checkpoint_utils
+
+            restore_args = checkpoint_utils.construct_restore_args(template)
+            return ckptr.restore(path, item=template, restore_args=restore_args)
         return ckptr.restore(path, item=template)
 
 

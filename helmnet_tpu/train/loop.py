@@ -339,8 +339,12 @@ class Trainer:
             self.params, self.opt_state, metrics, evolved = self._train_step(
                 self.params, self.opt_state, self.op, dev_batch, pick
             )
-            metrics = jax.device_get(metrics)
-            evolved = jax.device_get(evolved)
+            # multihost-safe fetch (allgathers cross-host shards; plain
+            # device_get single-process)
+            from ..distributed.multihost import fetch_global
+
+            metrics = jax.tree.map(fetch_global, metrics)
+            evolved = jax.tree.map(fetch_global, evolved)
             losses.append(float(metrics["loss"]))
 
             # ---- buffer write-back (hybridnet.py:427-464) ----
