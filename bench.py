@@ -40,7 +40,11 @@ def main():
     else:
         params = hybridnet.init_params(jax.random.PRNGKey(0), cfg.model)
 
-    def bench_case(n, batch, iters, repeats=3):
+    from helmnet_tpu.models.packed import rollout_packed
+
+    def bench_case(n, batch, iters, repeats=3, group=1):
+        """group > 1: channel-packed network (block-diagonal MXU packing,
+        models/packed.py) — identical math, full-width matmuls."""
         op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max, cfg.k0)
         s = cfg.source
         loc = (min(s.location[0], n - 10), min(s.location[1], n - 10))
@@ -55,10 +59,16 @@ def main():
         sos = jnp.asarray(sos)
 
         def run():
-            out = rollout(
-                params, op, source, sos, cfg=cfg, num_iterations=iters,
-                collect=("rmse",),
-            )
+            if group > 1:
+                out = rollout_packed(
+                    params, op, source, sos, cfg=cfg, g=group,
+                    num_iterations=iters, collect=("rmse",),
+                )
+            else:
+                out = rollout(
+                    params, op, source, sos, cfg=cfg, num_iterations=iters,
+                    collect=("rmse",),
+                )
             # host fetch forces completion even on async remote runtimes
             r = np.asarray(out["rmse"])
             assert np.all(np.isfinite(r)), "non-finite rollout rmse"
@@ -77,20 +87,33 @@ def main():
             "grid": n,
             "batch": batch,
             "iterations": iters,
+            "group": group,
             "seconds": dt,
             "compile_seconds": compile_s,
             "iterations_per_s": iters / dt,
             "gridpoints_per_s": batch * n * n * iters / dt,
         }
 
-    # primary: same config the baseline was measured at
+    # primary: same config the baseline was measured at; fastest of the
+    # standard and channel-packed network paths (identical math)
     primary = bench_case(96, 32, 50)
-
-    details = {"platform": platform, "device": str(dev), "primary": primary}
+    details = {"platform": platform, "device": str(dev),
+               "primary_unpacked": primary}
+    try:
+        packed16 = bench_case(96, 32, 50, group=16)
+        details["primary_packed16"] = packed16
+        if packed16["gridpoints_per_s"] > primary["gridpoints_per_s"]:
+            primary = packed16
+    except Exception as e:
+        details["packed_error"] = repr(e)
+    details["primary"] = primary
     try:
         details["large_batch_96"] = bench_case(96, 256, 50)
+        details["large_batch_96_packed"] = bench_case(96, 256, 50, group=16)
         details["grid_256"] = bench_case(256, 16, 50)
+        details["grid_256_packed"] = bench_case(256, 16, 50, group=16)
         details["grid_512"] = bench_case(512, 4, 50)
+        details["grid_512_packed"] = bench_case(512, 4, 50, group=4)
     except Exception as e:  # keep the primary result even if extras fail
         details["extras_error"] = repr(e)
 
