@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import Config, ModelConfig
-from ..ops.spectral import SpectralPML, helmholtz_residual
-from ..solvers.iterative import get_initials, network_input, residual_rmse
+from ..ops.spectral import SpectralPML
+from ..solvers.iterative import get_initials
 from .activations import get_activation
 from .blocks import conv2d, conv_transpose2d
 from .hybridnet import states_dimension
@@ -133,6 +133,52 @@ def apply_packed(
 
 RESIDUAL_SCALE = 1e3  # must match solvers/iterative.py
 
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def laplacian_packed(op: SpectralPML, u: jax.Array, g: int) -> jax.Array:
+    """Spectral PML Laplacian on packed fields [B', H, W, g*2].
+
+    Same two dense per-axis complex matmuls as ops/spectral.laplacian_matmul,
+    contracted against a [B', H, W, g, 2] view — the channel axis just got
+    wider, the MXU shapes are unchanged (contraction over H/W)."""
+    lead = u.shape[:-1]
+    v = u.reshape(lead + (g, 2))
+
+    def cmul(m_r, m_i, sub):
+        pr = jnp.einsum(sub, m_r, v, precision=HIGHEST)
+        pi = jnp.einsum(sub, m_i, v, precision=HIGHEST)
+        re = pr[..., 0] - pi[..., 1]
+        im = pr[..., 1] + pi[..., 0]
+        return jnp.stack([re, im], axis=-1)
+
+    ly = cmul(op.ay_r, op.ay_i, "hj,bjwgc->bhwgc")
+    lx = cmul(op.ax_r, op.ax_i, "wj,bhjgc->bhwgc")
+    return (lx + ly).reshape(lead + (g * 2,))
+
+
+def residual_packed(
+    op: SpectralPML, u: jax.Array, k_sq_p: jax.Array, source_p: jax.Array,
+    g: int,
+) -> jax.Array:
+    """r = L u + k^2 u - s entirely in packed layout.
+
+    u/source_p: [B', H, W, g*2]; k_sq_p: [B', H, W, g] (packed k^2)."""
+    lead = u.shape[:-1]
+    ku = (
+        k_sq_p[..., None] * u.reshape(lead + (g, 2))
+    ).reshape(lead + (g * 2,))
+    return laplacian_packed(op, u, g) + ku - source_p
+
+
+def rmse_packed(residual_p: jax.Array, g: int) -> jax.Array:
+    """Per-problem residual RMSE from packed layout -> [B'*g] in the
+    original batch order."""
+    b, h, w, _ = residual_p.shape
+    r = residual_p.reshape(b, h, w, g, 2)
+    per = jnp.sqrt(jnp.mean(r**2, axis=(1, 2, 4)))  # [B', g]
+    return per.reshape(b * g)
+
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "g", "num_iterations", "collect")
@@ -148,51 +194,70 @@ def rollout_packed(
     num_iterations: int,
     collect: tuple = ("rmse",),
 ):
-    """Inference rollout with the network running channel-packed.
+    """Inference rollout with the ENTIRE iteration channel-packed.
 
     Identical math to solvers.iterative.rollout (block-diagonal zeros are
-    exact); requires batch % g == 0. Physics stays in the standard layout;
-    pack/unpack transposes happen once per iteration at the net boundary.
+    exact); requires batch % g == 0. Fields, residuals, k^2 and the spectral
+    operator all run in the packed [B/g, H, W, g*C] layout — packing happens
+    once at entry, unpacking once at exit; no per-iteration transposes.
     """
     b = sos_maps.shape[0]
     if b % g:
         raise ValueError(f"batch {b} must be divisible by pack group {g}")
+    if cfg.operator_mode != "matmul":
+        raise ValueError("rollout_packed supports the matmul operator only")
     mcfg = cfg.model
     packed = pack_params(params, g)
     k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
-    residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
+    wf_p = pack_batch(wavefield, g)
+    k_sq_p = pack_batch(k_sq[..., None], g)
+    src_p = pack_batch(source, g)
+    res_p = residual_packed(op, wf_p, k_sq_p, src_p, g)
     dims = states_dimension(sos_maps.shape[1:3], mcfg.depth)
     states = tuple(
         jnp.zeros((b // g,) + dims[d] + (g * mcfg.state_channels,), sos_maps.dtype)
         for d in range(mcfg.state_depth)
     )
+    # PML sigma channels, tiled per group: [H, W, g*2]
     sigmas_hwc = jnp.transpose(op.sigmas, (1, 2, 0))
+    sig_p = jnp.broadcast_to(
+        jnp.tile(sigmas_hwc, (1, 1, g))[None],
+        (b // g,) + sigmas_hwc.shape[:2] + (g * 2,),
+    )
     track_best = "best" in collect
 
     def body(carry, _):
-        wavefield, residual, states, best_wf, best_rmse = carry
-        net_in = pack_batch(network_input(wavefield, residual, sigmas_hwc), g)
-        d_packed, states = apply_packed(packed, net_in, states, cfg=mcfg, g=g)
-        d = unpack_batch(d_packed, g)
-        wavefield = d / RESIDUAL_SCALE + wavefield
-        residual = helmholtz_residual(
-            op, wavefield, k_sq, source, cfg.operator_mode
+        wf_p, res_p, states, best_wf, best_rmse = carry
+        net_in = _gconcat(
+            _gconcat(wf_p, RESIDUAL_SCALE * res_p, g), sig_p, g
         )
-        rmse = residual_rmse(residual)
+        d_p, states = apply_packed(packed, net_in, states, cfg=mcfg, g=g)
+        wf_p = d_p / RESIDUAL_SCALE + wf_p
+        res_p = residual_packed(op, wf_p, k_sq_p, src_p, g)
+        rmse = rmse_packed(res_p, g)
         if track_best:
-            better = rmse < best_rmse
-            best_wf = jnp.where(better[:, None, None, None], wavefield, best_wf)
+            better = rmse.reshape(b // g, 1, 1, g, 1) < best_rmse.reshape(
+                b // g, 1, 1, g, 1
+            )
+            lead = wf_p.shape[:-1]
+            best_wf = jnp.where(
+                better, wf_p.reshape(lead + (g, 2)),
+                best_wf.reshape(lead + (g, 2)),
+            ).reshape(wf_p.shape)
             best_rmse = jnp.minimum(rmse, best_rmse)
         ys = {"rmse": rmse} if "rmse" in collect else {}
-        return (wavefield, residual, states, best_wf, best_rmse), ys
+        return (wf_p, res_p, states, best_wf, best_rmse), ys
 
-    best0 = (wavefield, jnp.full((b,), jnp.inf, sos_maps.dtype))
-    (wavefield, residual, states, best_wf, best_rmse), ys = jax.lax.scan(
-        body, (wavefield, residual, states, *best0), None, length=num_iterations
+    best0 = (wf_p, jnp.full((b,), jnp.inf, sos_maps.dtype))
+    (wf_p, res_p, states, best_wf, best_rmse), ys = jax.lax.scan(
+        body, (wf_p, res_p, states, *best0), None, length=num_iterations
     )
-    out = {"wavefield": wavefield, "residual": residual}
+    out = {
+        "wavefield": unpack_batch(wf_p, g),
+        "residual": unpack_batch(res_p, g),
+    }
     if track_best:
-        out["best_wavefield"] = best_wf
+        out["best_wavefield"] = unpack_batch(best_wf, g)
         out["best_rmse"] = best_rmse
     out.update(ys)
     return out

@@ -473,6 +473,7 @@ class Trainer:
         s = self.cfg.source
         iters = num_iterations or self.cfg.max_iterations
         rmses = []
+        first_wavefields = None  # decimated trajectory for TB images
         for start in range(0, len(val_maps), batch):
             maps = val_maps[start : start + batch]
             if sources is not None:
@@ -488,6 +489,13 @@ class Trainer:
                         for loc in locs
                     ]
                 )
+            # first batch also collects a decimated wavefield trajectory so
+            # TB gets the reference's val/20-step/terminal image set
+            # (hybridnet.py:416-424, 507-520)
+            want_traj = (
+                self._tb is not None and start == 0
+                and iters % 20 == 0 and iters >= 20
+            )
             out = rollout(
                 self.params,
                 self.op,
@@ -495,21 +503,31 @@ class Trainer:
                 jnp.asarray(maps),
                 cfg=self.cfg,
                 num_iterations=iters,
-                collect=("rmse",),
+                collect=("rmse", "wavefields") if want_traj else ("rmse",),
+                decimate=20 if want_traj else 1,
             )
+            if want_traj:
+                first_wavefields = np.asarray(out["wavefields"])[:, 0]
             final = np.asarray(out["rmse"])[-1]
             rmses.append(np.where(np.isnan(final), np.inf, final))
         val_loss = float(np.mean(np.concatenate(rmses)))
         self._log({"epoch": self.epoch, "val_loss": val_loss})
         if self._tb is not None:
             self._tb.add_scalar("val/val_loss", val_loss, self.global_step)
+
             # wavefield images (reference log_wavefield, hybridnet.py:507-520)
-            wf = np.asarray(out["wavefield"])[0]
-            img = (np.clip(wf, -1, 1) + 1) / 2
-            self._tb.add_image("wavefield/val_real", img[None, :, :, 0],
-                               self.global_step)
-            self._tb.add_image("wavefield/val_imag", img[None, :, :, 1],
-                               self.global_step)
+            def log_img(tag, wf):
+                img = (np.clip(wf, -1, 1) + 1) / 2
+                self._tb.add_image(f"{tag}_real", img[None, :, :, 0],
+                                   self.global_step)
+                self._tb.add_image(f"{tag}_imag", img[None, :, :, 1],
+                                   self.global_step)
+
+            if first_wavefields is not None:
+                log_img("wavefield/val_20step", first_wavefields[0])
+                log_img("wavefield/val_terminal", first_wavefields[-1])
+            else:
+                log_img("wavefield/val", np.asarray(out["wavefield"])[0])
         return {"val_loss": val_loss}
 
     def _log(self, record: dict):

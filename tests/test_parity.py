@@ -86,6 +86,10 @@ class TestRolloutParity:
         ref_rmse = fx["rmse"]
         # trajectory parity: tight at early iterations, relative later
         np.testing.assert_allclose(rmse[:20], ref_rmse[:20], rtol=2e-2)
+        # mid-trajectory bound: measured max relative deviation over iters
+        # 20-99 is 7.6e-4 (f32 HIGHEST vs the torch fixture) — pin with
+        # ~6x headroom for platform drift
+        np.testing.assert_allclose(rmse[20:100], ref_rmse[20:100], rtol=5e-3)
         # converges to the same level (within 20% in log-space terms)
         assert rmse[-1] < 1.5 * max(ref_rmse[-1], 1e-6)
         # final wavefield parity (fields are O(1); atol vs max |u|)
