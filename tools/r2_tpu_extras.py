@@ -1,0 +1,204 @@
+"""Round-2 TPU validation extras (run on the real chip after training):
+
+1. 2048^2 high-wavenumber GMRES: bare Krylov stall vs shifted-Laplace
+   (CSLP) convergence — VERDICT item 4's "done" criterion.
+2. 1024^2 far-OOD learned rollout with the forward wrappers (source
+   normalization + best-iterate): no divergence over long rollouts —
+   VERDICT item 6.
+3. 512^2 skull example through plain forward (no hybrid fallback),
+   figure regenerated.
+4. Packed-vs-unpacked rollout microbench (the conv-lever measurement).
+
+Each step is independent; failures don't block the rest. Results land in
+R2_TPU_EXTRAS.json + figures/.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+OUT = {}
+
+
+def step(name):
+    def deco(fn):
+        def run():
+            print(f"=== {name} ===", flush=True)
+            t0 = time.time()
+            try:
+                OUT[name] = fn()
+                OUT[name]["seconds"] = round(time.time() - t0, 1)
+                print(f"  ok in {OUT[name]['seconds']}s: {OUT[name]}", flush=True)
+            except Exception as e:
+                OUT[name] = {"error": repr(e)}
+                print(f"  FAILED: {e!r}", flush=True)
+        run.step_name = name
+        return run
+    return deco
+
+
+@step("gmres_2048_highk")
+def gmres_2048():
+    import jax
+    import jax.numpy as jnp
+
+    from helmnet_tpu.core.config import Config
+    from helmnet_tpu.ops.source import point_source_map
+    from helmnet_tpu.ops.spectral import make_operator
+    from helmnet_tpu.solvers.gmres import solve_helmholtz
+
+    cfg = Config()
+    n, omega = 2048, 1.0  # ~326 wavelengths across: hard for bare Krylov
+    op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max,
+                       omega)
+    k_sq = jnp.full((n, n), omega**2)
+    src = jnp.asarray(
+        point_source_map(n, n, (n - 40, n // 2), 10.0, 0.0, omega)
+    )
+    res = {}
+    for precond in ("none", "shifted_laplace"):
+        t0 = time.time()
+        r = solve_helmholtz(op, k_sq, src, restart=50, max_restarts=12,
+                            tol=1e-12, precond=precond)
+        rel = float(np.asarray(r.residual_norms[-1] / r.residual_norms[0]))
+        res[precond] = {"rel_residual": rel,
+                        "seconds": round(time.time() - t0, 1)}
+    res["converges_where_bare_stalls"] = (
+        res["shifted_laplace"]["rel_residual"]
+        < res["none"]["rel_residual"] / 100
+    )
+    return res
+
+
+@step("rollout_1024_ood")
+def rollout_1024():
+    import jax
+
+    from helmnet_tpu.solvers.iterative import IterativeSolver
+
+    ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+    solver = IterativeSolver.from_reference_checkpoint(ckpt)
+    n = 1024
+    rng = np.random.default_rng(0)
+    sos = np.ones((n, n), np.float32)
+    for _ in range(6):
+        r0, c0 = rng.integers(n // 8, n - n // 4, 2)
+        h, w = rng.integers(n // 16, n // 4, 2)
+        sos[r0 : r0 + h, c0 : c0 + w] = 1.25 + 0.75 * rng.random()
+    # extended line source at 3x the training amplitude: doubly OOD
+    src = np.zeros((n, n, 2), np.float32)
+    src[60, n // 4 : 3 * n // 4, 0] = 30.0
+    solver.set_domain_size(n, source_map=src[None])
+    out = solver.forward(sos, num_iterations=3000, decimate=100)
+    rmse = np.asarray(out["rmse"])[:, 0]
+    best = float(np.asarray(out["best_rmse"])[0])
+    return {
+        "final_rmse": float(rmse[-1]),
+        "best_rmse": best,
+        "diverged": bool(~np.isfinite(rmse[-1]) or rmse[-1] > 10 * rmse[0]),
+        "rmse_t0": float(rmse[0]),
+    }
+
+
+@step("skull_512_plain_forward")
+def skull_512():
+    from helmnet_tpu.data.skull import skull_example_problem
+    from helmnet_tpu.eval import plots
+    from helmnet_tpu.solvers.iterative import IterativeSolver
+
+    ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+    solver = IterativeSolver.from_reference_checkpoint(ckpt)
+    sos, source = skull_example_problem(512)
+    solver.set_domain_size(512, source_map=source[None])
+    out = solver.forward(sos, num_iterations=3000, decimate=100)
+    rmse = np.asarray(out["rmse"])[:, 0]
+    best = float(np.asarray(out["best_rmse"])[0])
+    wf = np.asarray(out["wavefield"])[0]
+    plt = plots._plt()
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    axes[0].imshow(sos, cmap="viridis")
+    axes[0].set_title("skull sos map")
+    plots.show_wavefield(wf, ax=axes[1],
+                         title=f"transcranial Re(u), best rmse {best:.1e}")
+    path = os.path.join(ROOT, "figures", "skull_example.png")
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    return {"best_rmse": best, "final_rmse": float(rmse[-1]),
+            "diverged": bool(~np.isfinite(rmse[-1])), "figure": path}
+
+
+@step("packed_bench")
+def packed_bench():
+    import jax
+    import jax.numpy as jnp
+
+    from helmnet_tpu.models.packed import rollout_packed
+    from helmnet_tpu.ops.source import point_source_map
+    from helmnet_tpu.ops.spectral import make_operator
+    from helmnet_tpu.solvers.iterative import IterativeSolver, rollout
+
+    ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+    solver = IterativeSolver.from_reference_checkpoint(ckpt)
+    cfg = solver.cfg
+    res = {}
+    for n, batch, iters, groups in ((96, 32, 50, (8, 16, 32)),
+                                    (512, 16, 20, (8, 16))):
+        op = make_operator(n, n, cfg.geometry.pml_size,
+                           cfg.geometry.sigma_max, cfg.k0)
+        src = jnp.asarray(np.broadcast_to(
+            point_source_map(n, n, (n - 14, n // 2), 10.0)[None],
+            (batch, n, n, 2)))
+        sos = np.ones((batch, n, n), np.float32)
+        sos[:, : n // 2, : n // 2] = 1.5
+        sos = jnp.asarray(sos)
+
+        def timed(fn):
+            np.asarray(fn()["rmse"])  # compile + force
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(fn()["rmse"])
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        key = f"{n}x{batch}"
+        base = timed(lambda: rollout(solver.params, op, src, sos, cfg=cfg,
+                                     num_iterations=iters))
+        res[key] = {"unpacked_s": base,
+                    "unpacked_gps": batch * n * n * iters / base}
+        for g in groups:
+            t = timed(lambda: rollout_packed(
+                solver.params, op, src, sos, cfg=cfg, g=g,
+                num_iterations=iters))
+            res[key][f"packed{g}_s"] = t
+            res[key][f"packed{g}_speedup"] = base / t
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated step substrings to run")
+    args = ap.parse_args()
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    steps = [packed_bench, gmres_2048, rollout_1024, skull_512]
+    for s in steps:
+        if args.only and not any(t in s.step_name for t in
+                                 args.only.split(",")):
+            continue
+        s()
+    with open(os.path.join(ROOT, "R2_TPU_EXTRAS.json"), "w") as f:
+        json.dump(OUT, f, indent=2, default=str)
+    print("wrote R2_TPU_EXTRAS.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
