@@ -17,9 +17,26 @@ import time
 
 import numpy as np
 
+# The driver runs `timeout 1200 python bench.py`; remote TPU compiles cost
+# 20-300 s per new executable (CLAUDE.md), so an unbounded workload sweep
+# can be killed before the JSON line prints. Guard every optional workload
+# behind a wall-clock budget and always emit the primary result.
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1050"))
+
+
+def time_left() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
 
 def main():
     import jax
+
+    # The ambient axon setup pre-imports jax pinned to the TPU tunnel;
+    # BENCH_PLATFORM=cpu forces a local-CPU run (used to exercise this
+    # harness while the chip is busy — shell env alone is ineffective).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
 
     from helmnet_tpu.core.config import Config
@@ -99,26 +116,36 @@ def main():
     primary = bench_case(96, 32, 50)
     details = {"platform": platform, "device": str(dev),
                "primary_unpacked": primary}
-    try:
-        packed16 = bench_case(96, 32, 50, group=16)
-        details["primary_packed16"] = packed16
-        if packed16["gridpoints_per_s"] > primary["gridpoints_per_s"]:
-            primary = packed16
-    except Exception as e:
-        details["packed_error"] = repr(e)
+    if time_left() > 120:
+        try:
+            packed16 = bench_case(96, 32, 50, group=16)
+            details["primary_packed16"] = packed16
+            if packed16["gridpoints_per_s"] > primary["gridpoints_per_s"]:
+                primary = packed16
+        except Exception as e:
+            details["packed_error"] = repr(e)
     details["primary"] = primary
-    try:
-        details["large_batch_96"] = bench_case(96, 256, 50)
-        details["large_batch_96_packed"] = bench_case(96, 256, 50, group=16)
-        details["grid_256"] = bench_case(256, 16, 50)
-        details["grid_256_packed"] = bench_case(256, 16, 50, group=16)
-        details["grid_512"] = bench_case(512, 4, 50)
-        details["grid_512_packed"] = bench_case(512, 4, 50, group=4)
-    except Exception as e:  # keep the primary result even if extras fail
-        details["extras_error"] = repr(e)
+    extras = (
+        ("large_batch_96", (96, 256, 50), 1),
+        ("large_batch_96_packed", (96, 256, 50), 16),
+        ("grid_256", (256, 16, 50), 1),
+        ("grid_256_packed", (256, 16, 50), 16),
+        ("grid_512", (512, 4, 50), 1),
+        ("grid_512_packed", (512, 4, 50), 4),
+    )
+    for name, (n, b, it), g in extras:
+        if time_left() < 150:
+            details.setdefault("skipped_for_budget", []).append(name)
+            continue
+        try:
+            details[name] = bench_case(n, b, it, group=g)
+        except Exception as e:  # keep the primary result even if extras fail
+            details[f"{name}_error"] = repr(e)
 
     # sparse stencil-residual kernel (the BASELINE.json SpMV metric)
     try:
+        if time_left() < 150:
+            raise TimeoutError("skipped for bench budget")
         import jax.numpy as jnp
 
         from helmnet_tpu.ops.pallas_stencil import residual_planes_tiled
