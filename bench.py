@@ -59,9 +59,17 @@ def main():
 
     from helmnet_tpu.models.packed import rollout_packed
 
-    def bench_case(n, batch, iters, repeats=3, group=1):
+    def bench_case(n, batch, iters, repeats=3, group=1, up_mode="dilated"):
         """group > 1: channel-packed network (block-diagonal MXU packing,
-        models/packed.py) — identical math, full-width matmuls."""
+        models/packed.py) — identical math, full-width matmuls.
+        up_mode='subpixel': 4-phase transposed-conv decomposition."""
+        import dataclasses
+
+        case_cfg = cfg
+        if up_mode != cfg.model.up_mode:
+            case_cfg = cfg.replace(
+                model=dataclasses.replace(cfg.model, up_mode=up_mode)
+            )
         op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max, cfg.k0)
         s = cfg.source
         loc = (min(s.location[0], n - 10), min(s.location[1], n - 10))
@@ -78,12 +86,12 @@ def main():
         def run():
             if group > 1:
                 out = rollout_packed(
-                    params, op, source, sos, cfg=cfg, g=group,
+                    params, op, source, sos, cfg=case_cfg, g=group,
                     num_iterations=iters, collect=("rmse",),
                 )
             else:
                 out = rollout(
-                    params, op, source, sos, cfg=cfg, num_iterations=iters,
+                    params, op, source, sos, cfg=case_cfg, num_iterations=iters,
                     collect=("rmse",),
                 )
             # host fetch forces completion even on async remote runtimes
@@ -105,6 +113,7 @@ def main():
             "batch": batch,
             "iterations": iters,
             "group": group,
+            "up_mode": up_mode,
             "seconds": dt,
             "compile_seconds": compile_s,
             "iterations_per_s": iters / dt,
@@ -124,6 +133,14 @@ def main():
                 primary = packed16
         except Exception as e:
             details["packed_error"] = repr(e)
+    if time_left() > 120:
+        try:
+            psp = bench_case(96, 32, 50, group=16, up_mode="subpixel")
+            details["primary_packed16_subpixel"] = psp
+            if psp["gridpoints_per_s"] > primary["gridpoints_per_s"]:
+                primary = psp
+        except Exception as e:
+            details["subpixel_error"] = repr(e)
     details["primary"] = primary
     extras = (
         ("large_batch_96", (96, 256, 50), 1),

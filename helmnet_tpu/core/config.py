@@ -60,6 +60,10 @@ class ModelConfig:
     # iterative solve self-corrects, only convergence speed is affected:
     # measured identical terminal residual at 4x the speed on v5e)
     precision: str = "default"
+    # Transposed-conv lowering: 'dilated' (input-dilated conv, reference
+    # semantics) or 'subpixel' (4 phase sub-convs at input resolution —
+    # identical math, 4x fewer MXU K-tile passes; models/blocks.py)
+    up_mode: str = "dilated"
 
     @staticmethod
     def from_json(d: dict) -> "ModelConfig":

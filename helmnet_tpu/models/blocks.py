@@ -68,6 +68,52 @@ def conv_transpose2d(params, x, *, stride: int = 2, padding: int = 3,
     return y + params["b"]
 
 
+def conv_transpose2d_subpixel(params, x, *, stride: int = 2, padding: int = 3,
+                              precision: str = "highest"):
+    """Same math as `conv_transpose2d` (k=8, s=2, p=3), 4x fewer MXU passes.
+
+    The input-dilated formulation contracts over a K = k*k*Cin window at
+    OUTPUT resolution where 3 of 4 input values are structural zeros. Each
+    output phase (a, b) = (row%2, col%2) only touches one parity class of
+    kernel taps, so the op decomposes into four independent k/2-tap convs at
+    INPUT resolution (sub-pixel convolution), interleaved afterwards:
+    K-tiles x M drops from 4k²Cin/128 x M_out to 4 x k²Cin/128 x M_out/4.
+    Exactly equal results (same contractions, same order-free sum).
+    """
+    w = params["w"]  # pre-flipped HWIO, see torch_convtranspose_to_hwio
+    k = w.shape[0]
+    if stride != 2 or k % 2:
+        raise ValueError("subpixel path supports stride 2, even k only")
+    p = k - 1 - padding  # dilated-conv pad (4 for k=8, p=3)
+    prec = resolve_precision(precision)
+    # 1D tap algebra: y[2m+a] = sum_j xd[2m + a - p + j]*wf[j]; the dilated
+    # input is nonzero only at even indices, so j ≡ (p + a) mod 2 and with
+    # j = 2s + (p+a)%2 the contribution is x[m + s - (p-a)//2]*wf[j]:
+    # a k/2-tap conv with left pad (p-a)//2, right pad k/2-1 - (p-a)//2.
+    phases = []
+    for a in (0, 1):
+        la = (p - a) // 2
+        for_a = (p + a) % 2
+        row = []
+        for b in (0, 1):
+            lb = (p - b) // 2
+            sub = w[for_a::2, (p + b) % 2 :: 2]
+            y = jax.lax.conv_general_dilated(
+                x, sub,
+                window_strides=(1, 1),
+                padding=((la, k // 2 - 1 - la), (lb, k // 2 - 1 - lb)),
+                dimension_numbers=_DN,
+                precision=prec,
+            )
+            row.append(y)
+        phases.append(row)
+    # interleave phases: out[:, 2m+a, 2n+b] = phases[a][b][:, m, n]
+    z = jnp.stack([jnp.stack(r, axis=0) for r in phases], axis=0)  # [2,2,B,H,W,O]
+    b_, h, wdt, o = phases[0][0].shape
+    out = jnp.transpose(z, (2, 3, 0, 4, 1, 5)).reshape(b_, 2 * h, 2 * wdt, o)
+    return out + params["b"]
+
+
 # ---------------------------------------------------------------------------
 # Torch weight-layout converters (for the pretrained-checkpoint importer)
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from ..core.config import ModelConfig
 from .blocks import (
     conv2d,
     conv_transpose2d,
+    conv_transpose2d_subpixel,
     double_conv,
     init_conv,
     init_conv_transpose,
@@ -122,9 +123,10 @@ def apply(
         inner_signals.append(out)
         x = conv2d(blk["down"], out, stride=2, padding=3, precision=prec)
 
+    up = conv_transpose2d_subpixel if cfg.up_mode == "subpixel" else conv_transpose2d
     x = double_conv(params["decode"][-1], x, act, prec)
     for d in range(cfg.depth - 1, -1, -1):
-        x = conv_transpose2d(params["up"][d], x, stride=2, padding=3, precision=prec)
+        x = up(params["up"][d], x, stride=2, padding=3, precision=prec)
         x = jnp.concatenate([x, inner_signals[d]], axis=-1)
         x = double_conv(params["decode"][d], x, act, prec)
 

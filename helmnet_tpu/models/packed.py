@@ -33,7 +33,7 @@ from ..core.config import Config, ModelConfig
 from ..ops.spectral import SpectralPML
 from ..solvers.iterative import get_initials
 from .activations import get_activation
-from .blocks import conv2d, conv_transpose2d
+from .blocks import conv2d, conv_transpose2d, conv_transpose2d_subpixel
 from .hybridnet import states_dimension
 
 
@@ -121,11 +121,10 @@ def apply_packed(
         inner_signals.append(out)
         x = conv2d(blk["down"], out, stride=2, padding=3, precision=prec)
 
+    up = conv_transpose2d_subpixel if cfg.up_mode == "subpixel" else conv_transpose2d
     x = dconv(packed_params["decode"][-1], x)
     for d in range(cfg.depth - 1, -1, -1):
-        x = conv_transpose2d(
-            packed_params["up"][d], x, stride=2, padding=3, precision=prec
-        )
+        x = up(packed_params["up"][d], x, stride=2, padding=3, precision=prec)
         x = dconv(packed_params["decode"][d], _gconcat(x, inner_signals[d], g))
 
     return conv2d(packed_params["outc"], x, precision=prec), tuple(new_states)
