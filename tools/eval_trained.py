@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--limit-ckpts", type=int, default=12)
     ap.add_argument("--md-name", type=str, default="TRAINING.md")
+    ap.add_argument("--header", type=str, default=None,
+                    help="markdown intro paragraph (defaults to the round-1 "
+                         "run description)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -107,12 +110,16 @@ def main():
     print("\nBEST:", best, flush=True)
 
     with open(os.path.join(root, args.md_name), "w") as f:
-        f.write("# Round-1 from-scratch training (TPU v5e, device-resident buffer)\n\n")
-        f.write("Reference config (96^2, buffer 600, batch 32, unroll 10, "
-                "Adam 1e-4, curriculum min(20*epoch+1, 1000)), bf16 network "
-                "precision, 2600 generated ellipse maps, ~4.6 s/epoch "
-                "(81 steps) on one chip via the fused device-buffer "
-                "mega-step.\n\n")
+        if args.header:
+            f.write(f"# Training run `{args.tag}` (TPU v5e)\n\n")
+            f.write(args.header.strip() + "\n\n")
+        else:
+            f.write("# Round-1 from-scratch training (TPU v5e, device-resident buffer)\n\n")
+            f.write("Reference config (96^2, buffer 600, batch 32, unroll 10, "
+                    "Adam 1e-4, curriculum min(20*epoch+1, 1000)), bf16 network "
+                    "precision, 2600 generated ellipse maps, ~4.6 s/epoch "
+                    "(81 steps) on one chip via the fused device-buffer "
+                    "mega-step.\n\n")
         f.write("Validation: 32 held-out maps, final residual RMSE after "
                 f"{args.iterations} iterations; 'fixed' = training source "
                 "location, 'random' = circle sources (generalization).\n\n")

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--val-every", type=int, default=10)
     ap.add_argument("--val-iters", type=int, default=500)
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--init-from", type=str, default=None,
+                    help="tag whose BEST checkpoint warm-starts params/opt "
+                         "state when this tag has no checkpoint yet")
     args = ap.parse_args()
 
     import dataclasses
@@ -78,6 +81,16 @@ def main():
     if trainer.restore(ckpt_dir):
         print(f"resumed at epoch {trainer.epoch}  lr {trainer.scheduler.lr:.2e}",
               flush=True)
+    elif args.init_from:
+        src = os.path.join(
+            os.path.dirname(__file__), "..", "checkpoints", args.init_from
+        )
+        if not trainer.restore(src, best=True):
+            raise SystemExit(f"--init-from {args.init_from}: no checkpoint")
+        if args.lr:  # explicit lr overrides the restored scheduler state
+            trainer.scheduler.lr = args.lr
+        print(f"warm start from {args.init_from} best (epoch {trainer.epoch}) "
+              f"lr {trainer.scheduler.lr:.2e}", flush=True)
     trainer.fill_buffer(train_maps)
     val_sources = trainer.make_val_sources(len(val_maps))
 
