@@ -64,6 +64,11 @@ class ModelConfig:
     # semantics) or 'subpixel' (4 phase sub-convs at input resolution —
     # identical math, 4x fewer MXU K-tile passes; models/blocks.py)
     up_mode: str = "dilated"
+    # DoubleConv lowering for the packed inference path: 'xla' or 'pallas'
+    # (fused conv->PReLU->conv kernel, ops/pallas_unet.py; bf16 compute,
+    # only taken where the whole-plane kernel fits VMEM and
+    # precision == 'default')
+    double_conv_mode: str = "xla"
 
     @staticmethod
     def from_json(d: dict) -> "ModelConfig":

@@ -101,7 +101,23 @@ def apply_packed(
     prec = cfg.precision
     _, act_fn = get_activation(act)
 
+    use_pallas = (
+        cfg.double_conv_mode == "pallas"
+        and prec == "default"
+        and act in ("prelu", "relu")
+    )
+    if use_pallas:
+        from ..ops.pallas_unet import fused_double_conv, fused_supported
+
+        interp = jax.default_backend() != "tpu"  # interpret off-TPU (tests)
+
     def dconv(p, t):
+        if use_pallas:
+            _, h_, w_, ci = t.shape
+            cm, co = p["c1"]["w"].shape[3], p["c2"]["w"].shape[3]
+            if fused_supported(h_, w_, ci, cm, co):
+                fp = p if "a" in p.get("act", {}) else {**p, "act": {}}
+                return fused_double_conv(fp, t, interpret=interp)
         h = conv2d(p["c1"], t, padding=1, precision=prec)
         h = act_fn(p["act"], h)
         return conv2d(p["c2"], h, padding=1, precision=prec)

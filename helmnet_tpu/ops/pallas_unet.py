@@ -1,0 +1,204 @@
+"""Fused DoubleConv Pallas kernel — conv3x3 -> PReLU -> conv3x3 in VMEM.
+
+The packed UNet's hot layers are DoubleConvs on [B', H, W, g*C] tensors
+(models/packed.py). XLA runs them as two conv ops with an HBM round trip
+for the intermediate and a weight re-read per op. This kernel keeps both
+weight tensors and the intermediate activation resident in VMEM and
+issues the 18 tap-matmuls back to back.
+
+Layout trick: the plane is flattened to [H*W, C] (C = lanes, H*W =
+sublanes). A 3x3 tap shift (dy, dx) becomes ONE sublane roll by
+dy*W + dx; out-of-range taps are killed by an iota-derived validity mask
+(a wrapped column ⟺ (w + dx) outside [0, W)). Every matmul is then a
+plain 2D [rows, Cin] x [Cin, Cout] MXU contraction — no im2col, no
+layout change between the two convs.
+
+Tiling: the input plane stays in HBM; each grid step DMAs an overlapping
+row window [T + 2P, Cin] (P ≥ 2W+2 rows of halo so the intermediate's
+halo is recomputed locally — overlapped tiling), computes the full
+DoubleConv for its T output rows, and writes one disjoint output block.
+Window rows whose tap rolls wrap are provably never consumed: consumed
+intermediate rows lie ≥ P-W-1 ≥ W+1 rows inside the window, and the
+global masks exclude plane-boundary wraps.
+
+Compute follows the bf16 'default' precision policy of the XLA path:
+bf16 tap inputs, f32 accumulation (`preferred_element_type`), PReLU in
+f32, bf16 re-cast for the second conv, f32 output.
+
+Replaces the per-iteration conv-stack cost of the reference
+hybridnet.py:558-584; see PERF_NOTES.md (round-2 conv levers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+_VMEM_BUDGET = 10 * 2**20  # leave headroom below the ~16 MB/core VMEM
+
+
+def _halo_rows(width: int) -> int:
+    """Halo P ≥ 2W + 2 rounded to sublane (8) alignment."""
+    return ((2 * width + 2 + 7) // 8) * 8
+
+
+def _conv_taps(x_bf, w_flat, base, width: int, hw: int, cin: int,
+               row_slice=None):
+    """Sum of 9 masked tap matmuls.
+
+    x_bf: [win, cin] bf16 window; base: [win, 1] int32 global row index of
+    each window row; w_flat: [9*cin, cout] bf16 tap-major. `row_slice`
+    (off, T): after each roll keep rows [off, off+T) (off 8-aligned) and
+    mask with THEIR global indices — used by the second conv to compute
+    output rows only.
+    """
+    win = x_bf.shape[0]
+    if row_slice is None:
+        gi = base
+    else:
+        off, t_rows = row_slice
+        gi = jax.lax.dynamic_slice_in_dim(base, off, t_rows, 0)
+    col = gi - (gi // width) * width
+    acc = None
+    for t, (dy, dx) in enumerate(TAPS):
+        delta = dy * width + dx
+        rolled = pltpu.roll(x_bf, (-delta) % win, 0) if delta else x_bf
+        if row_slice is not None:
+            off, t_rows = row_slice
+            rolled = jax.lax.dynamic_slice_in_dim(rolled, off, t_rows, 0)
+        j2 = gi + delta
+        mask = (j2 >= 0) & (j2 < hw) & (col + dx >= 0) & (col + dx < width)
+        tap_in = jnp.where(mask, rolled, jnp.bfloat16(0))
+        part = jax.lax.dot_general(
+            tap_in, w_flat[t * cin : (t + 1) * cin, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _kernel(width, hw, tile_t, halo, cin, cmid,
+            x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, slope_ref,
+            out_ref, xw_ref, mid_ref, sem):
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    win = tile_t + 2 * halo
+
+    if halo == 0:  # single tile == whole plane; masks handle everything
+        s0 = 0
+        cp = pltpu.make_async_copy(x_hbm.at[b_idx], xw_ref, sem)
+        cp.start()
+        cp.wait()
+    else:
+        s0 = pl.multiple_of(
+            jnp.clip(t_idx * tile_t - halo, 0, hw - win), 8
+        )
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b_idx].at[pl.ds(s0, win)], xw_ref, sem
+        )
+        cp.start()
+        cp.wait()
+
+    base = s0 + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    h1 = _conv_taps(xw_ref[:], w1_ref[:], base, width, hw, cin)
+    h1 = h1 + b1_ref[:]
+    slope = slope_ref[0]
+    h1 = jnp.maximum(h1, 0.0) + slope * jnp.minimum(h1, 0.0)
+    mid_ref[:] = h1.astype(jnp.bfloat16)
+
+    off = pl.multiple_of(t_idx * tile_t - s0, 8)
+    h2 = _conv_taps(mid_ref[:], w2_ref[:], base, width, hw, cmid,
+                    row_slice=(off, tile_t))
+    out_ref[0] = h2 + b2_ref[:]
+
+
+def _pick_tile(hw: int, width: int, cin: int, cmid: int, cout: int):
+    """Largest tile T (divisor of HW, multiple of 8) within VMEM budget."""
+    halo = _halo_rows(width)
+    for n_tiles in (1, 2, 4, 8, 16, 32, 64):
+        if hw % (n_tiles * 8):
+            continue
+        t = hw // n_tiles
+        h = 0 if n_tiles == 1 else halo
+        if _vmem_estimate(t, h, cin, cmid, cout) < _VMEM_BUDGET:
+            return t, h
+    return None, None
+
+
+def _vmem_estimate(tile_t, halo, cin, cmid, cout):
+    win = tile_t + 2 * halo
+    return (
+        win * cin * 2            # x window (bf16)
+        + win * cmid * (2 + 4)   # mid scratch (bf16) + f32 accumulator
+        + win * max(cin, cmid) * 2  # rolled-tap transient
+        + tile_t * cout * 4 * 3  # conv2 accumulator + double-buffered out
+        + 9 * (cin * cmid + cmid * cout) * 2
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_double_conv(params, x, *, interpret: bool = False):
+    """DoubleConv (conv3x3 -> PReLU -> conv3x3, padding 1) as one kernel.
+
+    params: {"c1": {"w": [3,3,Cin,Cmid], "b": [Cmid]},
+             "act": {"a": [1]} (PReLU slope; empty/missing -> ReLU),
+             "c2": {"w": [3,3,Cmid,Cout], "b": [Cout]}}
+    x: [B, H, W, Cin] float32. Returns [B, H, W, Cout] float32.
+    """
+    b, height, width, cin = x.shape
+    w1, b1 = params["c1"]["w"], params["c1"]["b"]
+    w2, b2 = params["c2"]["w"], params["c2"]["b"]
+    cmid, cout = w1.shape[3], w2.shape[3]
+    hw = height * width
+
+    tile_t, halo = _pick_tile(hw, width, cin, cmid, cout)
+    if tile_t is None:
+        raise ValueError(f"no VMEM-feasible tiling for {x.shape}")
+    n_tiles = hw // tile_t
+    win = tile_t + 2 * halo
+
+    x_flat = x.reshape(b, hw, cin).astype(jnp.bfloat16)
+    w1_flat = w1.reshape(9 * cin, cmid).astype(jnp.bfloat16)
+    w2_flat = w2.reshape(9 * cmid, cout).astype(jnp.bfloat16)
+    act = params.get("act", {})
+    a = act.get("a") if isinstance(act, dict) else None
+    slope = (jnp.zeros((1,), jnp.float32) if a is None
+             else jnp.asarray(a, jnp.float32).reshape(1))
+
+    kernel = functools.partial(_kernel, width, hw, tile_t, halo, cin, cmid)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((9 * cin, cmid), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, cmid), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((9 * cmid, cout), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, cout), lambda bi, ti: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, cout), lambda bi, ti: (bi, ti, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win, cin), jnp.bfloat16),
+            pltpu.VMEM((win, cmid), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_flat, w1_flat, b1.reshape(1, cmid), w2_flat, b2.reshape(1, cout),
+      slope)
+    return out.reshape(b, height, width, cout)
+
+
+def fused_supported(height: int, width: int, cin: int, cmid: int,
+                    cout: int) -> bool:
+    """True when a VMEM-feasible tiling exists for the fused kernel."""
+    t, _ = _pick_tile(height * width, width, cin, cmid, cout)
+    return t is not None
