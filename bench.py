@@ -59,16 +59,19 @@ def main():
 
     from helmnet_tpu.models.packed import rollout_packed
 
-    def bench_case(n, batch, iters, repeats=3, group=1, up_mode="dilated"):
+    def bench_case(n, batch, iters, repeats=3, group=1, up_mode="dilated",
+                   dconv="xla"):
         """group > 1: channel-packed network (block-diagonal MXU packing,
         models/packed.py) — identical math, full-width matmuls.
-        up_mode='subpixel': 4-phase transposed-conv decomposition."""
+        up_mode='subpixel': 4-phase transposed-conv decomposition.
+        dconv='pallas': fused VMEM-resident DoubleConv kernel."""
         import dataclasses
 
         case_cfg = cfg
-        if up_mode != cfg.model.up_mode:
+        if up_mode != cfg.model.up_mode or dconv != cfg.model.double_conv_mode:
             case_cfg = cfg.replace(
-                model=dataclasses.replace(cfg.model, up_mode=up_mode)
+                model=dataclasses.replace(cfg.model, up_mode=up_mode,
+                                          double_conv_mode=dconv)
             )
         op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max, cfg.k0)
         s = cfg.source
@@ -114,6 +117,7 @@ def main():
             "iterations": iters,
             "group": group,
             "up_mode": up_mode,
+            "dconv": dconv,
             "seconds": dt,
             "compile_seconds": compile_s,
             "iterations_per_s": iters / dt,
@@ -141,6 +145,15 @@ def main():
                 primary = psp
         except Exception as e:
             details["subpixel_error"] = repr(e)
+    if time_left() > 120:
+        try:
+            ppl = bench_case(96, 32, 50, group=16, up_mode="subpixel",
+                             dconv="pallas")
+            details["primary_packed16_subpixel_pallas"] = ppl
+            if ppl["gridpoints_per_s"] > primary["gridpoints_per_s"]:
+                primary = ppl
+        except Exception as e:
+            details["pallas_dconv_error"] = repr(e)
     details["primary"] = primary
     extras = (
         ("large_batch_96", (96, 256, 50), 1),
