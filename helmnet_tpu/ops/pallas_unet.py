@@ -48,30 +48,21 @@ def _halo_rows(width: int) -> int:
     return ((2 * width + 2 + 7) // 8) * 8
 
 
-def _conv_taps(x_bf, w_flat, base, width: int, hw: int, cin: int,
-               row_slice=None):
-    """Sum of 9 masked tap matmuls.
+def _conv_taps(x_bf, w_flat, base, width: int, hw: int, cin: int):
+    """Sum of 9 masked tap matmuls over the full window.
 
     x_bf: [win, cin] bf16 window; base: [win, 1] int32 global row index of
-    each window row; w_flat: [9*cin, cout] bf16 tap-major. `row_slice`
-    (off, T): after each roll keep rows [off, off+T) (off 8-aligned) and
-    mask with THEIR global indices — used by the second conv to compute
-    output rows only.
+    each window row; w_flat: [9*cin, cout] bf16 tap-major. Window rows
+    whose rolls wrap produce garbage — by construction (halo ≥ 2W+2) those
+    rows are never inside the emitted output slice.
     """
     win = x_bf.shape[0]
-    if row_slice is None:
-        gi = base
-    else:
-        off, t_rows = row_slice
-        gi = jax.lax.dynamic_slice_in_dim(base, off, t_rows, 0)
+    gi = base
     col = gi - (gi // width) * width
     acc = None
     for t, (dy, dx) in enumerate(TAPS):
         delta = dy * width + dx
         rolled = pltpu.roll(x_bf, (-delta) % win, 0) if delta else x_bf
-        if row_slice is not None:
-            off, t_rows = row_slice
-            rolled = jax.lax.dynamic_slice_in_dim(rolled, off, t_rows, 0)
         j2 = gi + delta
         mask = (j2 >= 0) & (j2 < hw) & (col + dx >= 0) & (col + dx < width)
         tap_in = jnp.where(mask, rolled, jnp.bfloat16(0))
@@ -86,7 +77,7 @@ def _conv_taps(x_bf, w_flat, base, width: int, hw: int, cin: int,
 
 def _kernel(width, hw, tile_t, halo, cin, cmid,
             x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, slope_ref,
-            out_ref, xw_ref, mid_ref, sem):
+            out_ref, xw_ref, mid_ref, acc_ref, sem):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     win = tile_t + 2 * halo
@@ -113,10 +104,14 @@ def _kernel(width, hw, tile_t, halo, cin, cmid,
     h1 = jnp.maximum(h1, 0.0) + slope * jnp.minimum(h1, 0.0)
     mid_ref[:] = h1.astype(jnp.bfloat16)
 
-    off = pl.multiple_of(t_idx * tile_t - s0, 8)
-    h2 = _conv_taps(mid_ref[:], w2_ref[:], base, width, hw, cmid,
-                    row_slice=(off, tile_t))
-    out_ref[0] = h2 + b2_ref[:]
+    h2 = _conv_taps(mid_ref[:], w2_ref[:], base, width, hw, cmid)
+    if halo == 0:
+        out_ref[0] = h2 + b2_ref[:]
+    else:
+        # emit only this tile's rows (8-aligned dynamic ref slice)
+        acc_ref[:] = h2 + b2_ref[:]
+        off = pl.multiple_of(t_idx * tile_t - s0, 8)
+        out_ref[0] = acc_ref[pl.ds(off, tile_t)]
 
 
 def _pick_tile(hw: int, width: int, cin: int, cmid: int, cout: int):
@@ -138,7 +133,8 @@ def _vmem_estimate(tile_t, halo, cin, cmid, cout):
         win * cin * 2            # x window (bf16)
         + win * cmid * (2 + 4)   # mid scratch (bf16) + f32 accumulator
         + win * max(cin, cmid) * 2  # rolled-tap transient
-        + tile_t * cout * 4 * 3  # conv2 accumulator + double-buffered out
+        + win * cout * 4         # full-window conv2 accumulator scratch
+        + tile_t * cout * 4 * 2  # double-buffered out block
         + 9 * (cin * cmid + cmid * cout) * 2
     )
 
@@ -189,6 +185,7 @@ def fused_double_conv(params, x, *, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((win, cin), jnp.bfloat16),
             pltpu.VMEM((win, cmid), jnp.bfloat16),
+            pltpu.VMEM((win, cout), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
