@@ -44,6 +44,43 @@ def step(name):
     return deco
 
 
+@step("fused_dconv_96")
+def fused_dconv():
+    """Standalone fused-Pallas vs XLA DoubleConv at the packed level-0
+    96^2 shape, then the full packed rollout with dconv='pallas'."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from helmnet_tpu.models.blocks import double_conv, init_double_conv
+    from helmnet_tpu.ops.pallas_unet import fused_double_conv
+
+    p = init_double_conv(jax.random.PRNGKey(0), 160, 128, "prelu")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 96, 160))
+
+    xla = jax.jit(lambda pp, xx: double_conv(pp, xx, "prelu", "default"))
+
+    def timed(fn, *a):
+        r = np.asarray(fn(*a)).ravel()[:4]  # force + tiny fetch
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            for _ in range(20):
+                out = fn(*a)
+            np.asarray(out).ravel()[:4]
+            ts.append((time.time() - t0) / 20)
+        return min(ts)
+
+    t_xla = timed(xla, p, x)
+    t_pal = timed(lambda pp, xx: fused_double_conv(pp, xx), p, x)
+    ref = np.asarray(xla(p, x))
+    got = np.asarray(fused_double_conv(p, x))
+    rel = float(np.abs(got - ref).max() / (np.abs(ref).max() + 1e-30))
+    return {"xla_s": t_xla, "pallas_s": t_pal, "speedup": t_xla / t_pal,
+            "rel_err": rel}
+
+
 @step("gmres_2048_highk")
 def gmres_2048():
     import jax
@@ -189,7 +226,7 @@ def main():
     import jax
 
     print("devices:", jax.devices(), flush=True)
-    steps = [packed_bench, gmres_2048, rollout_1024, skull_512]
+    steps = [fused_dconv, packed_bench, gmres_2048, rollout_1024, skull_512]
     for s in steps:
         if args.only and not any(t in s.step_name for t in
                                  args.only.split(",")):
