@@ -154,6 +154,14 @@ def main():
                 primary = ppl
         except Exception as e:
             details["pallas_dconv_error"] = repr(e)
+    if time_left() > 120:
+        try:
+            p32 = bench_case(96, 32, 50, group=32, up_mode="subpixel")
+            details["primary_packed32_subpixel"] = p32
+            if p32["gridpoints_per_s"] > primary["gridpoints_per_s"]:
+                primary = p32
+        except Exception as e:
+            details["packed32_error"] = repr(e)
     details["primary"] = primary
     extras = (
         ("large_batch_96", (96, 256, 50), 1),
