@@ -88,15 +88,39 @@ def unpack_batch(y: jax.Array, g: int) -> jax.Array:
     ).reshape(bg * g, h, w, gc // g)
 
 
+def _split_packed_rows(w: jax.Array, splits, g: int):
+    """Split a packed block-diagonal weight's input rows per concat part.
+
+    w: [kh, kw, g*sum(splits), co] whose input rows are group-major over
+    the concatenated per-group channel blocks (the `_gconcat` layout).
+    Returns one [kh, kw, g*ci, co] weight per part, each contracting
+    against a separately-packed input — conv(concat(xs)) == sum_i
+    conv(x_i, w_i)."""
+    kh, kw, _, co = w.shape
+    tot = sum(splits)
+    w5 = w.reshape(kh, kw, g, tot, co)
+    outs, start = [], 0
+    for ci in splits:
+        outs.append(
+            w5[:, :, :, start : start + ci, :].reshape(kh, kw, g * ci, co)
+        )
+        start += ci
+    return tuple(outs)
+
+
 def apply_packed(
     packed_params,
-    x: jax.Array,
+    x,
     states: Tuple[jax.Array, ...],
     *,
     cfg: ModelConfig,
     g: int,
 ) -> tuple[jax.Array, Tuple[jax.Array, ...]]:
-    """hybridnet.apply on packed tensors ([B', H, W, g*C] throughout)."""
+    """hybridnet.apply on packed tensors ([B', H, W, g*C] throughout).
+
+    `x` may be a tuple of packed tensors whose group-aware concatenation
+    forms the network input; in the fused-Pallas mode the concat never
+    materializes (per-part weight slices instead)."""
     act = cfg.activation_function
     prec = cfg.precision
     _, act_fn = get_activation(act)
@@ -111,27 +135,40 @@ def apply_packed(
 
         interp = jax.default_backend() != "tpu"  # interpret off-TPU (tests)
 
-    def dconv(p, t):
+    def dconv(p, *parts):
         if use_pallas:
-            _, h_, w_, ci = t.shape
+            _, h_, w_, _ = parts[0].shape
+            cins = [int(t.shape[-1]) for t in parts]
             cm, co = p["c1"]["w"].shape[3], p["c2"]["w"].shape[3]
-            if fused_supported(h_, w_, ci, cm, co):
-                fp = p if "a" in p.get("act", {}) else {**p, "act": {}}
-                return fused_double_conv(fp, t, interpret=interp)
+            if fused_supported(h_, w_, cins, cm, co):
+                w1s = (
+                    _split_packed_rows(
+                        p["c1"]["w"], [c // g for c in cins], g
+                    )
+                    if len(parts) > 1 else (p["c1"]["w"],)
+                )
+                fp = {
+                    "c1": {"w": w1s, "b": p["c1"]["b"]},
+                    "act": p.get("act", {}) if "a" in p.get("act", {}) else {},
+                    "c2": p["c2"],
+                }
+                return fused_double_conv(fp, parts, interpret=interp)
+        t = parts[0]
+        for extra in parts[1:]:
+            t = _gconcat(t, extra, g)
         h = conv2d(p["c1"], t, padding=1, precision=prec)
         h = act_fn(p["act"], h)
         return conv2d(p["c2"], h, padding=1, precision=prec)
 
-    x = dconv(packed_params["inc"], x)
+    parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+    x = dconv(packed_params["inc"], *parts)
     inner_signals = []
     new_states = []
     for d in range(cfg.depth):
         blk = packed_params["enc"][d]
         if d < cfg.state_depth:
-            out = dconv(blk["conv_signal"], _gconcat(x, states[d], g))
-            new_states.append(
-                dconv(blk["conv_state"], _gconcat(out, states[d], g))
-            )
+            out = dconv(blk["conv_signal"], x, states[d])
+            new_states.append(dconv(blk["conv_state"], out, states[d]))
         else:
             out = dconv(blk["conv_signal"], x)
         inner_signals.append(out)
@@ -141,7 +178,7 @@ def apply_packed(
     x = dconv(packed_params["decode"][-1], x)
     for d in range(cfg.depth - 1, -1, -1):
         x = up(packed_params["up"][d], x, stride=2, padding=3, precision=prec)
-        x = dconv(packed_params["decode"][d], _gconcat(x, inner_signals[d], g))
+        x = dconv(packed_params["decode"][d], x, inner_signals[d])
 
     return conv2d(packed_params["outc"], x, precision=prec), tuple(new_states)
 
@@ -243,10 +280,10 @@ def rollout_packed(
 
     def body(carry, _):
         wf_p, res_p, states, best_wf, best_rmse = carry
-        net_in = _gconcat(
-            _gconcat(wf_p, RESIDUAL_SCALE * res_p, g), sig_p, g
+        d_p, states = apply_packed(
+            packed, (wf_p, RESIDUAL_SCALE * res_p, sig_p), states,
+            cfg=mcfg, g=g,
         )
-        d_p, states = apply_packed(packed, net_in, states, cfg=mcfg, g=g)
         wf_p = d_p / RESIDUAL_SCALE + wf_p
         res_p = residual_packed(op, wf_p, k_sq_p, src_p, g)
         rmse = rmse_packed(res_p, g)

@@ -75,30 +75,48 @@ def _conv_taps(x_bf, w_flat, base, width: int, hw: int, cin: int):
     return acc
 
 
-def _kernel(width, hw, tile_t, halo, cin, cmid,
-            x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, slope_ref,
-            out_ref, xw_ref, mid_ref, acc_ref, sem):
+def _kernel(width, hw, tile_t, halo, cins, cmid, *refs):
+    """refs layout: [x_hbm x n, w1 x n, b1, w2, b2, slope,
+    out, xw_scratch x n, mid, acc, sems]."""
+    n = len(cins)
+    x_hbms = refs[:n]
+    w1_refs = refs[n : 2 * n]
+    b1_ref, w2_ref, b2_ref, slope_ref, out_ref = refs[2 * n : 2 * n + 5]
+    xw_refs = refs[2 * n + 5 : 3 * n + 5]
+    mid_ref, acc_ref, sems = refs[3 * n + 5 : 3 * n + 8]
+
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     win = tile_t + 2 * halo
 
     if halo == 0:  # single tile == whole plane; masks handle everything
         s0 = 0
-        cp = pltpu.make_async_copy(x_hbm.at[b_idx], xw_ref, sem)
-        cp.start()
-        cp.wait()
+        copies = [
+            pltpu.make_async_copy(x_hbms[i].at[b_idx], xw_refs[i], sems.at[i])
+            for i in range(n)
+        ]
     else:
         s0 = pl.multiple_of(
             jnp.clip(t_idx * tile_t - halo, 0, hw - win), 8
         )
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b_idx].at[pl.ds(s0, win)], xw_ref, sem
-        )
+        copies = [
+            pltpu.make_async_copy(
+                x_hbms[i].at[b_idx].at[pl.ds(s0, win)], xw_refs[i],
+                sems.at[i],
+            )
+            for i in range(n)
+        ]
+    for cp in copies:
         cp.start()
+    for cp in copies:
         cp.wait()
 
     base = s0 + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
-    h1 = _conv_taps(xw_ref[:], w1_ref[:], base, width, hw, cin)
+    h1 = None
+    for i in range(n):  # concat-of-inputs == sum of per-input tap convs
+        part = _conv_taps(xw_refs[i][:], w1_refs[i][:], base, width, hw,
+                          cins[i])
+        h1 = part if h1 is None else h1 + part
     h1 = h1 + b1_ref[:]
     slope = slope_ref[0]
     h1 = jnp.maximum(h1, 0.0) + slope * jnp.minimum(h1, 0.0)
@@ -114,25 +132,28 @@ def _kernel(width, hw, tile_t, halo, cin, cmid,
         out_ref[0] = acc_ref[pl.ds(off, tile_t)]
 
 
-def _pick_tile(hw: int, width: int, cin: int, cmid: int, cout: int):
-    """Largest tile T (divisor of HW, multiple of 8) within VMEM budget."""
+def _pick_tile(hw: int, width: int, cin, cmid: int, cout: int):
+    """Largest tile T (divisor of HW, multiple of 8) within VMEM budget.
+    `cin` may be an int or a sequence of per-input channel counts."""
+    cins = (cin,) if isinstance(cin, int) else tuple(cin)
     halo = _halo_rows(width)
     for n_tiles in (1, 2, 4, 8, 16, 32, 64):
         if hw % (n_tiles * 8):
             continue
         t = hw // n_tiles
         h = 0 if n_tiles == 1 else halo
-        if _vmem_estimate(t, h, cin, cmid, cout) < _VMEM_BUDGET:
+        if _vmem_estimate(t, h, cins, cmid, cout) < _VMEM_BUDGET:
             return t, h
     return None, None
 
 
-def _vmem_estimate(tile_t, halo, cin, cmid, cout):
+def _vmem_estimate(tile_t, halo, cins, cmid, cout):
     win = tile_t + 2 * halo
+    cin = sum(cins)
     return (
-        win * cin * 2            # x window (bf16)
+        win * cin * 2            # x windows (bf16)
         + win * cmid * (2 + 4)   # mid scratch (bf16) + f32 accumulator
-        + win * max(cin, cmid) * 2  # rolled-tap transient
+        + win * max(max(cins), cmid) * 2  # rolled-tap transient
         + win * cout * 4         # full-window conv2 accumulator scratch
         + tile_t * cout * 4 * 2  # double-buffered out block
         + 9 * (cin * cmid + cmid * cout) * 2
@@ -143,59 +164,81 @@ def _vmem_estimate(tile_t, halo, cin, cmid, cout):
 def fused_double_conv(params, x, *, interpret: bool = False):
     """DoubleConv (conv3x3 -> PReLU -> conv3x3, padding 1) as one kernel.
 
-    params: {"c1": {"w": [3,3,Cin,Cmid], "b": [Cmid]},
+    params: {"c1": {"w": [3,3,Cin,Cmid] or tuple of [3,3,ci,Cmid],
+                    "b": [Cmid]},
              "act": {"a": [1]} (PReLU slope; empty/missing -> ReLU),
              "c2": {"w": [3,3,Cmid,Cout], "b": [Cout]}}
-    x: [B, H, W, Cin] float32. Returns [B, H, W, Cout] float32.
+    x: [B, H, W, Cin] float32, or a tuple of [B, H, W, ci] whose channel
+    CONCATENATION feeds the first conv (the concat itself is fused away:
+    conv(concat(xs)) == sum_i conv(x_i, w_rows_i)) — w rows must already
+    be ordered/sliced to match each x_i. Returns [B, H, W, Cout] float32.
     """
-    b, height, width, cin = x.shape
-    w1, b1 = params["c1"]["w"], params["c1"]["b"]
+    xs = x if isinstance(x, (tuple, list)) else (x,)
+    w1 = params["c1"]["w"]
+    w1s = tuple(w1) if isinstance(w1, (tuple, list)) else (w1,)
+    if len(w1s) != len(xs):
+        raise ValueError("one c1 weight slice per input required")
+    b1 = params["c1"]["b"]
     w2, b2 = params["c2"]["w"], params["c2"]["b"]
-    cmid, cout = w1.shape[3], w2.shape[3]
+    b, height, width = xs[0].shape[:3]
+    cins = tuple(int(t.shape[3]) for t in xs)
+    cmid, cout = w1s[0].shape[3], w2.shape[3]
     hw = height * width
 
-    tile_t, halo = _pick_tile(hw, width, cin, cmid, cout)
+    tile_t, halo = _pick_tile(hw, width, cins, cmid, cout)
     if tile_t is None:
-        raise ValueError(f"no VMEM-feasible tiling for {x.shape}")
+        raise ValueError(f"no VMEM-feasible tiling for {[t.shape for t in xs]}")
     n_tiles = hw // tile_t
     win = tile_t + 2 * halo
 
-    x_flat = x.reshape(b, hw, cin).astype(jnp.bfloat16)
-    w1_flat = w1.reshape(9 * cin, cmid).astype(jnp.bfloat16)
+    xs_flat = tuple(
+        t.reshape(b, hw, c).astype(jnp.bfloat16) for t, c in zip(xs, cins)
+    )
+    w1_flat = tuple(
+        w.reshape(9 * c, cmid).astype(jnp.bfloat16)
+        for w, c in zip(w1s, cins)
+    )
     w2_flat = w2.reshape(9 * cmid, cout).astype(jnp.bfloat16)
     act = params.get("act", {})
     a = act.get("a") if isinstance(act, dict) else None
     slope = (jnp.zeros((1,), jnp.float32) if a is None
              else jnp.asarray(a, jnp.float32).reshape(1))
 
-    kernel = functools.partial(_kernel, width, hw, tile_t, halo, cin, cmid)
+    n = len(xs)
+    kernel = functools.partial(_kernel, width, hw, tile_t, halo, cins, cmid)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((9 * cin, cmid), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, cmid), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((9 * cmid, cout), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((1, cout), lambda bi, ti: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * n  # inputs stay in HBM
+            + [pl.BlockSpec((9 * c, cmid), lambda bi, ti: (0, 0))
+               for c in cins]
+            + [
+                pl.BlockSpec((1, cmid), lambda bi, ti: (0, 0)),
+                pl.BlockSpec((9 * cmid, cout), lambda bi, ti: (0, 0)),
+                pl.BlockSpec((1, cout), lambda bi, ti: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+        ),
         out_specs=pl.BlockSpec((1, tile_t, cout), lambda bi, ti: (bi, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, cout), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((win, cin), jnp.bfloat16),
-            pltpu.VMEM((win, cmid), jnp.bfloat16),
-            pltpu.VMEM((win, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((win, c), jnp.bfloat16) for c in cins]
+            + [
+                pltpu.VMEM((win, cmid), jnp.bfloat16),
+                pltpu.VMEM((win, cout), jnp.float32),
+                pltpu.SemaphoreType.DMA((n,)),
+            ]
+        ),
         interpret=interpret,
-    )(x_flat, w1_flat, b1.reshape(1, cmid), w2_flat, b2.reshape(1, cout),
-      slope)
+    )(*xs_flat, *w1_flat, b1.reshape(1, cmid), w2_flat,
+      b2.reshape(1, cout), slope)
     return out.reshape(b, height, width, cout)
 
 
-def fused_supported(height: int, width: int, cin: int, cmid: int,
+def fused_supported(height: int, width: int, cin, cmid: int,
                     cout: int) -> bool:
-    """True when a VMEM-feasible tiling exists for the fused kernel."""
+    """True when a VMEM-feasible tiling exists for the fused kernel.
+    `cin` may be an int or a sequence of per-input channel counts."""
     t, _ = _pick_tile(height * width, width, cin, cmid, cout)
     return t is not None

@@ -35,6 +35,33 @@ class TestFusedDoubleConv:
         got = np.asarray(fused_double_conv(p, x, interpret=True))
         np.testing.assert_allclose(got, ref, atol=2e-2 * np.abs(ref).max())
 
+    def test_multi_input_concat_fusion(self):
+        """conv(concat(xs)) == sum_i conv(x_i, w_rows_i): the fused-away
+        concat must be invisible (packed group-major row split)."""
+        import jax
+        import jax.numpy as jnp
+
+        from helmnet_tpu.models.packed import (_gconcat, _pack_w,
+                                               _split_packed_rows)
+
+        g = 4
+        p = init_double_conv(jax.random.PRNGKey(0), 10, 8, "prelu")
+        p = jax.tree.map(lambda t: t * 50 if t.ndim == 4 else t, p)
+        packed = {
+            "c1": {"w": _pack_w(p["c1"]["w"], g), "b": jnp.tile(p["c1"]["b"], g)},
+            "act": p["act"],
+            "c2": {"w": _pack_w(p["c2"]["w"], g), "b": jnp.tile(p["c2"]["b"], g)},
+        }
+        a = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8 * g))
+        bb = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 2 * g))
+        cat = _gconcat(a, bb, g)
+        ref = np.asarray(fused_double_conv(packed, cat, interpret=True))
+        w1s = _split_packed_rows(packed["c1"]["w"], [8, 2], g)
+        fp = {"c1": {"w": w1s, "b": packed["c1"]["b"]},
+              "act": packed["act"], "c2": packed["c2"]}
+        got = np.asarray(fused_double_conv(fp, (a, bb), interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-2 * np.abs(ref).max())
+
     def test_multi_tile_matches_whole_plane(self, monkeypatch):
         """Force the windowed-DMA tiling on a small plane; overlapped
         halo recomputation must be invisible in the result."""
