@@ -135,7 +135,7 @@ def apply_packed(
 
         interp = jax.default_backend() != "tpu"  # interpret off-TPU (tests)
 
-    def dconv(p, *parts):
+    def dconv(p, *parts, post=None):
         if use_pallas:
             _, h_, w_, _ = parts[0].shape
             cins = [int(t.shape[-1]) for t in parts]
@@ -152,13 +152,18 @@ def apply_packed(
                     "act": p.get("act", {}) if "a" in p.get("act", {}) else {},
                     "c2": p["c2"],
                 }
+                if post is not None:  # fold a trailing 1x1 conv (outc)
+                    fp["post"] = post
                 return fused_double_conv(fp, parts, interpret=interp)
         t = parts[0]
         for extra in parts[1:]:
             t = _gconcat(t, extra, g)
         h = conv2d(p["c1"], t, padding=1, precision=prec)
         h = act_fn(p["act"], h)
-        return conv2d(p["c2"], h, padding=1, precision=prec)
+        h = conv2d(p["c2"], h, padding=1, precision=prec)
+        if post is not None:
+            h = conv2d(post, h, precision=prec)
+        return h
 
     parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
     x = dconv(packed_params["inc"], *parts)
@@ -176,11 +181,14 @@ def apply_packed(
 
     up = conv_transpose2d_subpixel if cfg.up_mode == "subpixel" else conv_transpose2d
     x = dconv(packed_params["decode"][-1], x)
-    for d in range(cfg.depth - 1, -1, -1):
+    for d in range(cfg.depth - 1, 0, -1):
         x = up(packed_params["up"][d], x, stride=2, padding=3, precision=prec)
         x = dconv(packed_params["decode"][d], x, inner_signals[d])
-
-    return conv2d(packed_params["outc"], x, precision=prec), tuple(new_states)
+    # last decoder level with the 1x1 outc head folded in
+    x = up(packed_params["up"][0], x, stride=2, padding=3, precision=prec)
+    out = dconv(packed_params["decode"][0], x, inner_signals[0],
+                post=packed_params["outc"])
+    return out, tuple(new_states)
 
 
 RESIDUAL_SCALE = 1e3  # must match solvers/iterative.py

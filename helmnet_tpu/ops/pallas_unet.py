@@ -75,15 +75,20 @@ def _conv_taps(x_bf, w_flat, base, width: int, hw: int, cin: int):
     return acc
 
 
-def _kernel(width, hw, tile_t, halo, cins, cmid, *refs):
-    """refs layout: [x_hbm x n, w1 x n, b1, w2, b2, slope,
+def _kernel(width, hw, tile_t, halo, cins, cmid, has_post, *refs):
+    """refs layout: [x_hbm x n, w1 x n, b1, w2, b2, (w3, b3,) slope,
     out, xw_scratch x n, mid, acc, sems]."""
     n = len(cins)
     x_hbms = refs[:n]
     w1_refs = refs[n : 2 * n]
-    b1_ref, w2_ref, b2_ref, slope_ref, out_ref = refs[2 * n : 2 * n + 5]
-    xw_refs = refs[2 * n + 5 : 3 * n + 5]
-    mid_ref, acc_ref, sems = refs[3 * n + 5 : 3 * n + 8]
+    b1_ref, w2_ref, b2_ref = refs[2 * n : 2 * n + 3]
+    k = 2 * n + 3
+    if has_post:
+        w3_ref, b3_ref = refs[k : k + 2]
+        k += 2
+    slope_ref, out_ref = refs[k : k + 2]
+    xw_refs = refs[k + 2 : k + 2 + n]
+    mid_ref, acc_ref, sems = refs[k + 2 + n : k + 5 + n]
 
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
@@ -123,13 +128,23 @@ def _kernel(width, hw, tile_t, halo, cins, cmid, *refs):
     mid_ref[:] = h1.astype(jnp.bfloat16)
 
     h2 = _conv_taps(mid_ref[:], w2_ref[:], base, width, hw, cmid)
+
+    def post(v):  # optional fused 1x1 conv (the UNet's outc head)
+        if not has_post:
+            return v
+        return jax.lax.dot_general(
+            v.astype(jnp.bfloat16), w3_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b3_ref[:]
+
     if halo == 0:
-        out_ref[0] = h2 + b2_ref[:]
+        out_ref[0] = post(h2 + b2_ref[:])
     else:
         # emit only this tile's rows (8-aligned dynamic ref slice)
         acc_ref[:] = h2 + b2_ref[:]
         off = pl.multiple_of(t_idx * tile_t - s0, 8)
-        out_ref[0] = acc_ref[pl.ds(off, tile_t)]
+        out_ref[0] = post(acc_ref[pl.ds(off, tile_t)])
 
 
 def _pick_tile(hw: int, width: int, cin, cmid: int, cout: int):
@@ -180,9 +195,11 @@ def fused_double_conv(params, x, *, interpret: bool = False):
         raise ValueError("one c1 weight slice per input required")
     b1 = params["c1"]["b"]
     w2, b2 = params["c2"]["w"], params["c2"]["b"]
+    post = params.get("post")  # optional fused trailing 1x1 conv
     b, height, width = xs[0].shape[:3]
     cins = tuple(int(t.shape[3]) for t in xs)
     cmid, cout = w1s[0].shape[3], w2.shape[3]
+    c_emit = post["w"].shape[3] if post else cout
     hw = height * width
 
     tile_t, halo = _pick_tile(hw, width, cins, cmid, cout)
@@ -205,7 +222,18 @@ def fused_double_conv(params, x, *, interpret: bool = False):
              else jnp.asarray(a, jnp.float32).reshape(1))
 
     n = len(xs)
-    kernel = functools.partial(_kernel, width, hw, tile_t, halo, cins, cmid)
+    post_args, post_specs = (), []
+    if post:
+        post_args = (
+            post["w"].reshape(cout, c_emit).astype(jnp.bfloat16),
+            post["b"].reshape(1, c_emit),
+        )
+        post_specs = [
+            pl.BlockSpec((cout, c_emit), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, c_emit), lambda bi, ti: (0, 0)),
+        ]
+    kernel = functools.partial(_kernel, width, hw, tile_t, halo, cins, cmid,
+                               bool(post))
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
@@ -217,11 +245,13 @@ def fused_double_conv(params, x, *, interpret: bool = False):
                 pl.BlockSpec((1, cmid), lambda bi, ti: (0, 0)),
                 pl.BlockSpec((9 * cmid, cout), lambda bi, ti: (0, 0)),
                 pl.BlockSpec((1, cout), lambda bi, ti: (0, 0)),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
+            + post_specs
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         ),
-        out_specs=pl.BlockSpec((1, tile_t, cout), lambda bi, ti: (bi, ti, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hw, cout), jnp.float32),
+        out_specs=pl.BlockSpec((1, tile_t, c_emit),
+                               lambda bi, ti: (bi, ti, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c_emit), jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((win, c), jnp.bfloat16) for c in cins]
             + [
@@ -232,8 +262,8 @@ def fused_double_conv(params, x, *, interpret: bool = False):
         ),
         interpret=interpret,
     )(*xs_flat, *w1_flat, b1.reshape(1, cmid), w2_flat,
-      b2.reshape(1, cout), slope)
-    return out.reshape(b, height, width, cout)
+      b2.reshape(1, cout), *post_args, slope)
+    return out.reshape(b, height, width, c_emit)
 
 
 def fused_supported(height: int, width: int, cin, cmid: int,
