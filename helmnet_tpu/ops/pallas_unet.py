@@ -23,7 +23,10 @@ global masks exclude plane-boundary wraps.
 
 Compute follows the bf16 'default' precision policy of the XLA path:
 bf16 tap inputs, f32 accumulation (`preferred_element_type`), PReLU in
-f32, bf16 re-cast for the second conv, f32 output.
+f32, bf16 re-cast for the second conv, f32 output. Windows and the
+intermediate are HELD in f32, cast to bf16 per tap at the dot: Mosaic's
+dynamic_rotate (the lowering of `pltpu.roll`) only supports 32-bit
+element types, so rolling must happen before the bf16 cast.
 
 Replaces the per-iteration conv-stack cost of the reference
 hybridnet.py:558-584; see PERF_NOTES.md (round-2 conv levers).
@@ -48,24 +51,32 @@ def _halo_rows(width: int) -> int:
     return ((2 * width + 2 + 7) // 8) * 8
 
 
-def _conv_taps(x_bf, w_flat, base, width: int, hw: int, cin: int):
+def _pad128(c: int) -> int:
+    """Mosaic memref slices need 128-aligned lane extents; channel dims
+    are zero-padded up front (free on the MXU: K-tile count unchanged)."""
+    return ((c + 127) // 128) * 128
+
+
+def _conv_taps(x_f32, w_flat, base, width: int, hw: int, cin: int):
     """Sum of 9 masked tap matmuls over the full window.
 
-    x_bf: [win, cin] bf16 window; base: [win, 1] int32 global row index of
-    each window row; w_flat: [9*cin, cout] bf16 tap-major. Window rows
-    whose rolls wrap produce garbage — by construction (halo ≥ 2W+2) those
-    rows are never inside the emitted output slice.
+    x_f32: [win, cin] f32 window (rolled in f32 — Mosaic dynamic_rotate
+    needs 32-bit data — then cast to bf16 at the dot); base: [win, 1]
+    int32 global row index of each window row; w_flat: [9*cin, cout] bf16
+    tap-major. Window rows whose rolls wrap produce garbage — by
+    construction (halo ≥ 2W+2) those rows are never inside the emitted
+    output slice.
     """
-    win = x_bf.shape[0]
+    win = x_f32.shape[0]
     gi = base
     col = gi - (gi // width) * width
     acc = None
     for t, (dy, dx) in enumerate(TAPS):
         delta = dy * width + dx
-        rolled = pltpu.roll(x_bf, (-delta) % win, 0) if delta else x_bf
+        rolled = pltpu.roll(x_f32, (-delta) % win, 0) if delta else x_f32
         j2 = gi + delta
         mask = (j2 >= 0) & (j2 < hw) & (col + dx >= 0) & (col + dx < width)
-        tap_in = jnp.where(mask, rolled, jnp.bfloat16(0))
+        tap_in = jnp.where(mask, rolled, 0.0).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
             tap_in, w_flat[t * cin : (t + 1) * cin, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -125,7 +136,7 @@ def _kernel(width, hw, tile_t, halo, cins, cmid, has_post, *refs):
     h1 = h1 + b1_ref[:]
     slope = slope_ref[0]
     h1 = jnp.maximum(h1, 0.0) + slope * jnp.minimum(h1, 0.0)
-    mid_ref[:] = h1.astype(jnp.bfloat16)
+    mid_ref[:] = h1  # f32: the second conv's rolls need 32-bit data too
 
     h2 = _conv_taps(mid_ref[:], w2_ref[:], base, width, hw, cmid)
 
@@ -149,8 +160,11 @@ def _kernel(width, hw, tile_t, halo, cins, cmid, has_post, *refs):
 
 def _pick_tile(hw: int, width: int, cin, cmid: int, cout: int):
     """Largest tile T (divisor of HW, multiple of 8) within VMEM budget.
-    `cin` may be an int or a sequence of per-input channel counts."""
+    `cin` may be an int or a sequence of per-input channel counts;
+    channel dims are costed at their 128-padded (lane-tiled) widths."""
     cins = (cin,) if isinstance(cin, int) else tuple(cin)
+    cins = tuple(_pad128(c) for c in cins)
+    cout = _pad128(cout)
     halo = _halo_rows(width)
     for n_tiles in (1, 2, 4, 8, 16, 32, 64):
         if hw % (n_tiles * 8):
@@ -166,9 +180,9 @@ def _vmem_estimate(tile_t, halo, cins, cmid, cout):
     win = tile_t + 2 * halo
     cin = sum(cins)
     return (
-        win * cin * 2            # x windows (bf16)
-        + win * cmid * (2 + 4)   # mid scratch (bf16) + f32 accumulator
-        + win * max(max(cins), cmid) * 2  # rolled-tap transient
+        win * cin * 4            # x windows (f32 — rolls need 32-bit)
+        + win * cmid * (4 + 4)   # mid scratch (f32) + f32 accumulator
+        + win * max(max(cins), cmid) * 6  # rolled f32 + bf16 tap transient
         + win * cout * 4         # full-window conv2 accumulator scratch
         + tile_t * cout * 4 * 2  # double-buffered out block
         + 9 * (cin * cmid + cmid * cout) * 2
@@ -197,25 +211,34 @@ def fused_double_conv(params, x, *, interpret: bool = False):
     w2, b2 = params["c2"]["w"], params["c2"]["b"]
     post = params.get("post")  # optional fused trailing 1x1 conv
     b, height, width = xs[0].shape[:3]
-    cins = tuple(int(t.shape[3]) for t in xs)
-    cmid, cout = w1s[0].shape[3], w2.shape[3]
-    c_emit = post["w"].shape[3] if post else cout
+    cins_raw = tuple(int(t.shape[3]) for t in xs)
+    cins = tuple(_pad128(c) for c in cins_raw)  # lane-aligned widths
+    cmid, cout_raw = w1s[0].shape[3], w2.shape[3]
+    c_emit_raw = post["w"].shape[3] if post else cout_raw
+    c_emit = _pad128(c_emit_raw)  # out blocks are lane-sliced too
+    cout = cout_raw if post else c_emit
     hw = height * width
 
-    tile_t, halo = _pick_tile(hw, width, cins, cmid, cout)
+    tile_t, halo = _pick_tile(hw, width, cins_raw, cmid, cout_raw)
     if tile_t is None:
         raise ValueError(f"no VMEM-feasible tiling for {[t.shape for t in xs]}")
     n_tiles = hw // tile_t
     win = tile_t + 2 * halo
 
     xs_flat = tuple(
-        t.reshape(b, hw, c).astype(jnp.bfloat16) for t, c in zip(xs, cins)
+        jnp.pad(t.reshape(b, hw, c).astype(jnp.float32),
+                ((0, 0), (0, 0), (0, pc - c)))
+        for t, c, pc in zip(xs, cins_raw, cins)
     )
     w1_flat = tuple(
-        w.reshape(9 * c, cmid).astype(jnp.bfloat16)
-        for w, c in zip(w1s, cins)
+        jnp.pad(w, ((0, 0), (0, 0), (0, pc - c), (0, 0)))
+        .reshape(9 * pc, cmid).astype(jnp.bfloat16)
+        for w, c, pc in zip(w1s, cins_raw, cins)
     )
-    w2_flat = w2.reshape(9 * cmid, cout).astype(jnp.bfloat16)
+    w2_flat = jnp.pad(
+        w2, ((0, 0), (0, 0), (0, 0), (0, cout - cout_raw))
+    ).reshape(9 * cmid, cout).astype(jnp.bfloat16)
+    b2 = jnp.pad(b2, (0, cout - cout_raw))
     act = params.get("act", {})
     a = act.get("a") if isinstance(act, dict) else None
     slope = (jnp.zeros((1,), jnp.float32) if a is None
@@ -225,8 +248,10 @@ def fused_double_conv(params, x, *, interpret: bool = False):
     post_args, post_specs = (), []
     if post:
         post_args = (
-            post["w"].reshape(cout, c_emit).astype(jnp.bfloat16),
-            post["b"].reshape(1, c_emit),
+            jnp.pad(post["w"].reshape(cout, c_emit_raw),
+                    ((0, 0), (0, c_emit - c_emit_raw))).astype(jnp.bfloat16),
+            jnp.pad(post["b"].reshape(1, c_emit_raw),
+                    ((0, 0), (0, c_emit - c_emit_raw))),
         )
         post_specs = [
             pl.BlockSpec((cout, c_emit), lambda bi, ti: (0, 0)),
@@ -253,9 +278,9 @@ def fused_double_conv(params, x, *, interpret: bool = False):
                                lambda bi, ti: (bi, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, c_emit), jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((win, c), jnp.bfloat16) for c in cins]
+            [pltpu.VMEM((win, c), jnp.float32) for c in cins]
             + [
-                pltpu.VMEM((win, cmid), jnp.bfloat16),
+                pltpu.VMEM((win, cmid), jnp.float32),
                 pltpu.VMEM((win, cout), jnp.float32),
                 pltpu.SemaphoreType.DMA((n,)),
             ]
@@ -263,7 +288,7 @@ def fused_double_conv(params, x, *, interpret: bool = False):
         interpret=interpret,
     )(*xs_flat, *w1_flat, b1.reshape(1, cmid), w2_flat,
       b2.reshape(1, cout), *post_args, slope)
-    return out.reshape(b, height, width, c_emit)
+    return out[..., :c_emit_raw].reshape(b, height, width, c_emit_raw)
 
 
 def fused_supported(height: int, width: int, cin, cmid: int,

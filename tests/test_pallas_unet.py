@@ -75,7 +75,7 @@ class TestFusedDoubleConv:
         ref = np.asarray(double_conv(p, x, "prelu", "default"))
         t, h = pallas_unet._pick_tile(32 * 32, 32, 10, 8, 8)
         assert h == 0  # whole-plane by default at this size
-        monkeypatch.setattr(pallas_unet, "_VMEM_BUDGET", 60_000)
+        monkeypatch.setattr(pallas_unet, "_VMEM_BUDGET", 500_000)
         t, h = pallas_unet._pick_tile(32 * 32, 32, 10, 8, 8)
         assert h > 0 and t < 32 * 32  # now tiled with halo windows
         try:
