@@ -86,20 +86,16 @@ def _conv_taps(x_f32, w_flat, base, width: int, hw: int, cin: int):
     return acc
 
 
-def _kernel(width, hw, tile_t, halo, cins, cmid, has_post, *refs):
-    """refs layout: [x_hbm x n, w1 x n, b1, w2, b2, (w3, b3,) slope,
-    out, xw_scratch x n, mid, acc, sems]."""
-    n = len(cins)
-    x_hbms = refs[:n]
-    w1_refs = refs[n : 2 * n]
-    b1_ref, w2_ref, b2_ref = refs[2 * n : 2 * n + 3]
-    k = 2 * n + 3
+def _kernel(width, hw, tile_t, halo, cin, cmid, has_post, *refs):
+    """refs layout: [x_hbm, w1, b1, w2, b2, (w3, b3,) slope,
+    out, xw_scratch, mid, acc, sem]."""
+    x_hbm, w1_ref, b1_ref, w2_ref, b2_ref = refs[:5]
+    k = 5
     if has_post:
         w3_ref, b3_ref = refs[k : k + 2]
         k += 2
     slope_ref, out_ref = refs[k : k + 2]
-    xw_refs = refs[k + 2 : k + 2 + n]
-    mid_ref, acc_ref, sems = refs[k + 2 + n : k + 5 + n]
+    xw_ref, mid_ref, acc_ref, sem = refs[k + 2 : k + 6]
 
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
@@ -107,32 +103,19 @@ def _kernel(width, hw, tile_t, halo, cins, cmid, has_post, *refs):
 
     if halo == 0:  # single tile == whole plane; masks handle everything
         s0 = 0
-        copies = [
-            pltpu.make_async_copy(x_hbms[i].at[b_idx], xw_refs[i], sems.at[i])
-            for i in range(n)
-        ]
+        copy = pltpu.make_async_copy(x_hbm.at[b_idx], xw_ref, sem)
     else:
         s0 = pl.multiple_of(
             jnp.clip(t_idx * tile_t - halo, 0, hw - win), 8
         )
-        copies = [
-            pltpu.make_async_copy(
-                x_hbms[i].at[b_idx].at[pl.ds(s0, win)], xw_refs[i],
-                sems.at[i],
-            )
-            for i in range(n)
-        ]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
-        cp.wait()
+        copy = pltpu.make_async_copy(
+            x_hbm.at[b_idx].at[pl.ds(s0, win)], xw_ref, sem
+        )
+    copy.start()
+    copy.wait()
 
     base = s0 + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
-    h1 = None
-    for i in range(n):  # concat-of-inputs == sum of per-input tap convs
-        part = _conv_taps(xw_refs[i][:], w1_refs[i][:], base, width, hw,
-                          cins[i])
-        h1 = part if h1 is None else h1 + part
+    h1 = _conv_taps(xw_ref[:], w1_ref[:], base, width, hw, cin)
     h1 = h1 + b1_ref[:]
     slope = slope_ref[0]
     h1 = jnp.maximum(h1, 0.0) + slope * jnp.minimum(h1, 0.0)
@@ -160,29 +143,28 @@ def _kernel(width, hw, tile_t, halo, cins, cmid, has_post, *refs):
 
 def _pick_tile(hw: int, width: int, cin, cmid: int, cout: int):
     """Largest tile T (divisor of HW, multiple of 8) within VMEM budget.
-    `cin` may be an int or a sequence of per-input channel counts;
+    `cin` may be an int or a sequence of per-input channel counts (the
+    parts are concatenated host-side into one 128-padded input);
     channel dims are costed at their 128-padded (lane-tiled) widths."""
-    cins = (cin,) if isinstance(cin, int) else tuple(cin)
-    cins = tuple(_pad128(c) for c in cins)
-    cout = _pad128(cout)
+    cin = cin if isinstance(cin, int) else sum(cin)
+    cin, cout = _pad128(cin), _pad128(cout)
     halo = _halo_rows(width)
     for n_tiles in (1, 2, 4, 8, 16, 32, 64):
         if hw % (n_tiles * 8):
             continue
         t = hw // n_tiles
         h = 0 if n_tiles == 1 else halo
-        if _vmem_estimate(t, h, cins, cmid, cout) < _VMEM_BUDGET:
+        if _vmem_estimate(t, h, cin, cmid, cout) < _VMEM_BUDGET:
             return t, h
     return None, None
 
 
-def _vmem_estimate(tile_t, halo, cins, cmid, cout):
+def _vmem_estimate(tile_t, halo, cin, cmid, cout):
     win = tile_t + 2 * halo
-    cin = sum(cins)
     return (
-        win * cin * 4            # x windows (f32 — rolls need 32-bit)
+        win * cin * 4            # x window (f32 — rolls need 32-bit)
         + win * cmid * (4 + 4)   # mid scratch (f32) + f32 accumulator
-        + win * max(max(cins), cmid) * 6  # rolled f32 + bf16 tap transient
+        + win * max(cin, cmid) * 6  # rolled f32 + bf16 tap transient
         + win * cout * 4         # full-window conv2 accumulator scratch
         + tile_t * cout * 4 * 2  # double-buffered out block
         + 9 * (cin * cmid + cmid * cout) * 2
@@ -198,9 +180,9 @@ def fused_double_conv(params, x, *, interpret: bool = False):
              "act": {"a": [1]} (PReLU slope; empty/missing -> ReLU),
              "c2": {"w": [3,3,Cmid,Cout], "b": [Cout]}}
     x: [B, H, W, Cin] float32, or a tuple of [B, H, W, ci] whose channel
-    CONCATENATION feeds the first conv (the concat itself is fused away:
-    conv(concat(xs)) == sum_i conv(x_i, w_rows_i)) — w rows must already
-    be ordered/sliced to match each x_i. Returns [B, H, W, Cout] float32.
+    CONCATENATION feeds the first conv; the concat is materialized once
+    in HBM (fused into the producers by XLA) and the per-part weight row
+    slices are concatenated to match. Returns [B, H, W, Cout] float32.
     """
     xs = x if isinstance(x, (tuple, list)) else (x,)
     w1 = params["c1"]["w"]
@@ -212,28 +194,42 @@ def fused_double_conv(params, x, *, interpret: bool = False):
     post = params.get("post")  # optional fused trailing 1x1 conv
     b, height, width = xs[0].shape[:3]
     cins_raw = tuple(int(t.shape[3]) for t in xs)
-    cins = tuple(_pad128(c) for c in cins_raw)  # lane-aligned widths
+    csum = sum(cins_raw)
+    cin = _pad128(csum)  # lane-aligned input width (single concat buffer)
     cmid, cout_raw = w1s[0].shape[3], w2.shape[3]
     c_emit_raw = post["w"].shape[3] if post else cout_raw
     c_emit = _pad128(c_emit_raw)  # out blocks are lane-sliced too
     cout = cout_raw if post else c_emit
     hw = height * width
 
-    tile_t, halo = _pick_tile(hw, width, cins_raw, cmid, cout_raw)
+    tile_t, halo = _pick_tile(hw, width, csum, cmid, cout_raw)
     if tile_t is None:
         raise ValueError(f"no VMEM-feasible tiling for {[t.shape for t in xs]}")
     n_tiles = hw // tile_t
     win = tile_t + 2 * halo
 
-    xs_flat = tuple(
-        jnp.pad(t.reshape(b, hw, c).astype(jnp.float32),
-                ((0, 0), (0, 0), (0, pc - c)))
-        for t, c, pc in zip(xs, cins_raw, cins)
+    # Concatenate the parts once in HBM (XLA fuses this into the
+    # producers) and pad to the lane tile: one window DMA per grid step
+    # instead of one per part, and the padded copies the multi-buffer
+    # variant made are gone.
+    xcat = (
+        xs[0].reshape(b, hw, csum)
+        if len(xs) == 1
+        else jnp.concatenate(
+            [t.reshape(b, hw, c) for t, c in zip(xs, cins_raw)], axis=-1
+        )
     )
-    w1_flat = tuple(
-        jnp.pad(w, ((0, 0), (0, 0), (0, pc - c), (0, 0)))
-        .reshape(9 * pc, cmid).astype(jnp.bfloat16)
-        for w, c, pc in zip(w1s, cins_raw, cins)
+    x_flat = jnp.pad(
+        xcat.astype(jnp.float32), ((0, 0), (0, 0), (0, cin - csum))
+    )
+    # per-part weight rows concatenated along the input-channel dim match
+    # the plain (non-group-aware) input concat above
+    w1cat = (
+        w1s[0] if len(w1s) == 1 else jnp.concatenate(w1s, axis=2)
+    )
+    w1_flat = (
+        jnp.pad(w1cat, ((0, 0), (0, 0), (0, cin - csum), (0, 0)))
+        .reshape(9 * cin, cmid).astype(jnp.bfloat16)
     )
     w2_flat = jnp.pad(
         w2, ((0, 0), (0, 0), (0, 0), (0, cout - cout_raw))
@@ -244,7 +240,6 @@ def fused_double_conv(params, x, *, interpret: bool = False):
     slope = (jnp.zeros((1,), jnp.float32) if a is None
              else jnp.asarray(a, jnp.float32).reshape(1))
 
-    n = len(xs)
     post_args, post_specs = (), []
     if post:
         post_args = (
@@ -257,16 +252,15 @@ def fused_double_conv(params, x, *, interpret: bool = False):
             pl.BlockSpec((cout, c_emit), lambda bi, ti: (0, 0)),
             pl.BlockSpec((1, c_emit), lambda bi, ti: (0, 0)),
         ]
-    kernel = functools.partial(_kernel, width, hw, tile_t, halo, cins, cmid,
+    kernel = functools.partial(_kernel, width, hw, tile_t, halo, cin, cmid,
                                bool(post))
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=(
-            [pl.BlockSpec(memory_space=pl.ANY)] * n  # inputs stay in HBM
-            + [pl.BlockSpec((9 * c, cmid), lambda bi, ti: (0, 0))
-               for c in cins]
-            + [
+            [
+                pl.BlockSpec(memory_space=pl.ANY),  # input stays in HBM
+                pl.BlockSpec((9 * cin, cmid), lambda bi, ti: (0, 0)),
                 pl.BlockSpec((1, cmid), lambda bi, ti: (0, 0)),
                 pl.BlockSpec((9 * cmid, cout), lambda bi, ti: (0, 0)),
                 pl.BlockSpec((1, cout), lambda bi, ti: (0, 0)),
@@ -278,15 +272,15 @@ def fused_double_conv(params, x, *, interpret: bool = False):
                                lambda bi, ti: (bi, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, c_emit), jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((win, c), jnp.float32) for c in cins]
-            + [
+            [
+                pltpu.VMEM((win, cin), jnp.float32),
                 pltpu.VMEM((win, cmid), jnp.float32),
                 pltpu.VMEM((win, cout), jnp.float32),
-                pltpu.SemaphoreType.DMA((n,)),
+                pltpu.SemaphoreType.DMA(()),
             ]
         ),
         interpret=interpret,
-    )(*xs_flat, *w1_flat, b1.reshape(1, cmid), w2_flat,
+    )(x_flat, w1_flat, b1.reshape(1, cmid), w2_flat,
       b2.reshape(1, cout), *post_args, slope)
     return out[..., :c_emit_raw].reshape(b, height, width, c_emit_raw)
 

@@ -36,6 +36,38 @@ class TestPackedModel:
         # off-diagonal blocks are exactly zero
         np.testing.assert_array_equal(pw[:, :, 0:2, 5:10], 0.0)
 
+    def test_rollout_pallas_dconv_matches_xla(self):
+        """Packed rollout with the fused-Pallas DoubleConv (interpret mode
+        on CPU) == packed rollout with XLA convs, bf16 policy."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        cfg = tiny_config()
+        solver = IterativeSolver(cfg)
+        rng = np.random.default_rng(0)
+        sos = np.ones((4, 32, 32), np.float32)
+        sos[:, 10:20, 8:22] = 1.0 + rng.random((4, 10, 14)).astype(np.float32)
+        src = jnp.broadcast_to(solver.source, (4, 32, 32, 2))
+        ref = packed.rollout_packed(
+            solver.params, solver.op, src, jnp.asarray(sos),
+            cfg=solver.cfg, g=2, num_iterations=3,
+        )
+        pcfg = solver.cfg.replace(model=dataclasses.replace(
+            solver.cfg.model, double_conv_mode="pallas"))
+        got = packed.rollout_packed(
+            solver.params, solver.op, src, jnp.asarray(sos),
+            cfg=pcfg, g=2, num_iterations=3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["rmse"]), np.asarray(ref["rmse"]), rtol=2e-3,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["wavefield"]), np.asarray(ref["wavefield"]),
+            rtol=1e-2, atol=5e-5,
+        )
+
     @pytest.mark.parametrize("g", [2, 4])
     def test_rollout_matches_unpacked(self, g):
         cfg = tiny_config().replace(

@@ -81,6 +81,67 @@ def fused_dconv():
             "rel_err": rel}
 
 
+@step("pallas_packed_96")
+def pallas_packed():
+    """Full packed rollout with the fused-Pallas DoubleConv at the bench
+    primary workload (96^2 x 32 x 50): the conv-lever combination — packed
+    channels give MXU-width K/N, the Pallas kernel avoids XLA's im2col
+    materialization for wide-channel convs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from helmnet_tpu.models.packed import rollout_packed
+    from helmnet_tpu.ops.source import point_source_map
+    from helmnet_tpu.ops.spectral import make_operator
+    from helmnet_tpu.solvers.iterative import IterativeSolver, rollout
+
+    ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+    solver = IterativeSolver.from_reference_checkpoint(ckpt)
+    cfg = solver.cfg
+    n, batch, iters = 96, 32, 50
+    op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max,
+                       cfg.k0)
+    src = jnp.asarray(np.broadcast_to(
+        point_source_map(n, n, (n - 14, n // 2), 10.0)[None],
+        (batch, n, n, 2)))
+    sos = np.ones((batch, n, n), np.float32)
+    sos[:, : n // 2, : n // 2] = 1.5
+    sos = jnp.asarray(sos)
+
+    def timed(fn):
+        out = fn()
+        r0 = np.asarray(out["rmse"])  # compile + force
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(fn()["rmse"])
+            ts.append(time.time() - t0)
+        return min(ts), r0
+
+    base_s, r_base = timed(lambda: rollout(
+        solver.params, op, src, sos, cfg=cfg, num_iterations=iters))
+    res = {"unpacked_s": base_s, "unpacked_gps": batch * n * n * iters / base_s}
+    for g, up in ((16, "dilated"), (16, "subpixel"), (8, "subpixel"),
+                  (32, "subpixel")):
+        case = cfg.replace(model=dataclasses.replace(
+            cfg.model, double_conv_mode="pallas", up_mode=up))
+        try:
+            t, r = timed(lambda: rollout_packed(
+                solver.params, op, src, sos, cfg=case, g=g,
+                num_iterations=iters))
+        except Exception as e:
+            res[f"pallas_g{g}_{up}_error"] = repr(e)[:300]
+            continue
+        rel = float(np.abs(r[-1] - r_base[-1]).max()
+                    / (np.abs(r_base[-1]).max() + 1e-30))
+        res[f"pallas_g{g}_{up}"] = {
+            "seconds": t, "gps": batch * n * n * iters / t,
+            "speedup": base_s / t, "final_rmse_rel_err": rel}
+    return res
+
+
 @step("gmres_2048_highk")
 def gmres_2048():
     import jax
@@ -233,7 +294,8 @@ def main():
     import jax
 
     print("devices:", jax.devices(), flush=True)
-    steps = [fused_dconv, packed_bench, gmres_2048, rollout_1024, skull_512]
+    steps = [fused_dconv, pallas_packed, packed_bench, gmres_2048,
+             rollout_1024, skull_512]
     for s in steps:
         if args.only and not any(t in s.step_name for t in
                                  args.only.split(",")):
