@@ -98,39 +98,68 @@ def apply(
     *,
     cfg: ModelConfig,
 ) -> tuple[jax.Array, Tuple[jax.Array, ...]]:
-    """Forward pass. x: [B, H, W, in_channels] NHWC. Returns (out[B,H,W,2], states')."""
+    """Forward pass. x: [B, H, W, in_channels] NHWC. Returns (out[B,H,W,2], states').
+
+    double_conv_mode='pallas' routes each DoubleConv through the
+    pixel-packed fused kernel (ops/pallas_pixconv.py) where the shape
+    supports it — ~3x fewer padded MXU FLOPs than the XLA conv lowering
+    at the 8-channel bench shapes — with XLA fallback at unsupported
+    resolutions (e.g. width not a multiple of 16). The final 1x1 outc
+    head is folded into the last decoder kernel.
+    """
     act = cfg.activation_function
     prec = cfg.precision
-    x = double_conv(params["inc"], x, act, prec)
+
+    use_pix = (
+        cfg.double_conv_mode == "pallas"
+        and prec == "default"
+        and act in ("prelu", "relu")
+    )
+    if use_pix:
+        from ..ops.pallas_pixconv import fused_double_conv_pix, pix_supported
+
+        interp = jax.default_backend() != "tpu"  # interpret off-TPU (tests)
+
+    def dconv(p, *parts, post=None):
+        if use_pix:
+            _, h_, w_, _ = parts[0].shape
+            cins = [int(t.shape[-1]) for t in parts]
+            cm, co = p["c1"]["w"].shape[3], p["c2"]["w"].shape[3]
+            ce = post["w"].shape[3] if post is not None else None
+            if pix_supported(h_, w_, cins, cm, co, c_emit=ce):
+                fp = {"c1": p["c1"], "act": p.get("act", {}), "c2": p["c2"]}
+                if post is not None:
+                    fp["post"] = post
+                return fused_double_conv_pix(fp, parts, interpret=interp)
+        t = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        h = double_conv(p, t, act, prec)
+        if post is not None:
+            h = conv2d(post, h, precision=prec)
+        return h
+
+    x = dconv(params["inc"], x)
 
     inner_signals = []
     new_states = []
     for d in range(cfg.depth):
         blk = params["enc"][d]
         if d < cfg.state_depth:
-            x_and_state = jnp.concatenate([x, states[d]], axis=-1)
-            out = double_conv(blk["conv_signal"], x_and_state, act, prec)
-            new_states.append(
-                double_conv(
-                    blk["conv_state"],
-                    jnp.concatenate([out, states[d]], axis=-1),
-                    act,
-                    prec,
-                )
-            )
+            out = dconv(blk["conv_signal"], x, states[d])
+            new_states.append(dconv(blk["conv_state"], out, states[d]))
         else:
-            out = double_conv(blk["conv_signal"], x, act, prec)
+            out = dconv(blk["conv_signal"], x)
         inner_signals.append(out)
         x = conv2d(blk["down"], out, stride=2, padding=3, precision=prec)
 
     up = conv_transpose2d_subpixel if cfg.up_mode == "subpixel" else conv_transpose2d
-    x = double_conv(params["decode"][-1], x, act, prec)
-    for d in range(cfg.depth - 1, -1, -1):
+    x = dconv(params["decode"][-1], x)
+    for d in range(cfg.depth - 1, 0, -1):
         x = up(params["up"][d], x, stride=2, padding=3, precision=prec)
-        x = jnp.concatenate([x, inner_signals[d]], axis=-1)
-        x = double_conv(params["decode"][d], x, act, prec)
-
-    out = conv2d(params["outc"], x, precision=prec)
+        x = dconv(params["decode"][d], x, inner_signals[d])
+    # last decoder level with the 1x1 outc head folded in
+    x = up(params["up"][0], x, stride=2, padding=3, precision=prec)
+    out = dconv(params["decode"][0], x, inner_signals[0],
+                post=params["outc"])
     return out, tuple(new_states)
 
 

@@ -107,6 +107,13 @@ with torch.no_grad():
     t0 = time.time()
     run(ITERS)
     dt = time.time() - t0
+    # 500 iterations: the solve length the reference actually uses on its
+    # test set (evaluate_on_testset.py) — the fair comparison workload for
+    # the amortized bench primary. Per-iteration torch-CPU cost is flat,
+    # but measure rather than extrapolate.
+    t0 = time.time()
+    run(500)
+    dt500 = time.time() - t0
 
 gps = BATCH * N * N * ITERS / dt
 out = {
@@ -116,6 +123,9 @@ out = {
     "seconds": dt,
     "iterations_per_s": ITERS / dt,
     "gridpoints_per_s": gps,
+    "config_500": {"grid": N, "batch": BATCH, "iterations": 500},
+    "seconds_500": dt500,
+    "gridpoints_per_s_500": BATCH * N * N * 500 / dt500,
 }
 with open(os.path.join(os.path.dirname(__file__), "..", "bench_baseline.json"), "w") as f:
     json.dump(out, f, indent=2)

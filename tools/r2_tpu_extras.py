@@ -142,6 +142,76 @@ def pallas_packed():
     return res
 
 
+@step("pixconv_96")
+def pixconv_96():
+    """Unpacked rollout at the bench primary workload with the
+    pixel-packed fused DoubleConv and/or subpixel up-convs. Reports both
+    the 50-iteration wall time (the bench metric, includes one ~30 ms
+    tunnel round trip) and the true per-iteration device time via the
+    difference method (200 vs 50 iterations)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from helmnet_tpu.ops.source import point_source_map
+    from helmnet_tpu.ops.spectral import make_operator
+    from helmnet_tpu.solvers.iterative import IterativeSolver, rollout
+
+    ckpt = "/root/reference/trained_models/jcp_paper_trained_weights.ckpt"
+    solver = IterativeSolver.from_reference_checkpoint(ckpt)
+    cfg = solver.cfg
+    n, batch = 96, 32
+    op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max,
+                       cfg.k0)
+    src = jnp.asarray(np.broadcast_to(
+        point_source_map(n, n, (n - 14, n // 2), 10.0)[None],
+        (batch, n, n, 2)))
+    sos = np.ones((batch, n, n), np.float32)
+    sos[:, : n // 2, : n // 2] = 1.5
+    sos = jnp.asarray(sos)
+
+    def wall(fn):
+        np.asarray(fn()["rmse"])  # compile + force
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(fn()["rmse"])
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    res = {}
+    r_ref = None
+    for dconv, up in (("xla", "dilated"), ("xla", "subpixel"),
+                      ("pallas", "dilated"), ("pallas", "subpixel")):
+        case = cfg.replace(model=dataclasses.replace(
+            cfg.model, double_conv_mode=dconv, up_mode=up))
+        key = f"{dconv}_{up}"
+        try:
+            run = lambda L: (lambda: rollout(
+                solver.params, op, src, sos, cfg=case, num_iterations=L))
+            t50 = wall(run(50))
+            t200 = wall(run(200))
+            r = np.asarray(rollout(solver.params, op, src, sos, cfg=case,
+                                   num_iterations=50)["rmse"])
+            if r_ref is None:
+                r_ref = r
+            rel = float(np.abs(r[-1] - r_ref[-1]).max()
+                        / (np.abs(r_ref[-1]).max() + 1e-30))
+            res[key] = {
+                "wall50_s": t50,
+                "gps_50iter": batch * n * n * 50 / t50,
+                "per_iter_ms": (t200 - t50) / 150 * 1e3,
+                "gps_device": batch * n * n / ((t200 - t50) / 150),
+                "final_rmse_rel_err": rel,
+            }
+            print(f"  {key}: {res[key]}", flush=True)
+        except Exception as e:
+            res[f"{key}_error"] = repr(e)[:400]
+            print(f"  {key} FAILED: {repr(e)[:200]}", flush=True)
+    return res
+
+
 @step("gmres_2048_highk")
 def gmres_2048():
     import jax
@@ -294,8 +364,8 @@ def main():
     import jax
 
     print("devices:", jax.devices(), flush=True)
-    steps = [fused_dconv, pallas_packed, packed_bench, gmres_2048,
-             rollout_1024, skull_512]
+    steps = [fused_dconv, pallas_packed, pixconv_96, packed_bench,
+             gmres_2048, rollout_1024, skull_512]
     for s in steps:
         if args.only and not any(t in s.step_name for t in
                                  args.only.split(",")):
