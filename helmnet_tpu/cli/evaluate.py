@@ -38,7 +38,11 @@ def main(argv=None):
     from ..data.ellipses import load_maps
     from ..solvers.iterative import IterativeSolver
 
-    solver = IterativeSolver.from_reference_checkpoint(args.checkpoint)
+    solver = (
+        IterativeSolver.from_orbax_checkpoint(args.checkpoint)
+        if os.path.isdir(args.checkpoint)
+        else IterativeSolver.from_reference_checkpoint(args.checkpoint)
+    )
     maps = load_maps(args.testset)
     if args.limit:
         maps = maps[: args.limit]

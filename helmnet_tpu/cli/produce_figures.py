@@ -16,7 +16,13 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="reference-format torch checkpoint")
+    p.add_argument("--orbax", type=str, default=None,
+                   help="framework training-run checkpoint dir "
+                        "(checkpoints/<tag>); best-val step by default")
+    p.add_argument("--step", type=int, default=None,
+                   help="explicit orbax step (with --orbax)")
     p.add_argument("--testset", type=str, default=None)
     p.add_argument("--out", type=str, default="figures")
     p.add_argument("--num-samples", type=int, default=20)
@@ -44,7 +50,13 @@ def main(argv=None):
     from ..eval.harness import compare_solvers
     from ..solvers.iterative import IterativeSolver
 
-    solver = IterativeSolver.from_reference_checkpoint(args.checkpoint)
+    if bool(args.checkpoint) == bool(args.orbax):
+        p.error("exactly one of --checkpoint / --orbax is required")
+    solver = (
+        IterativeSolver.from_reference_checkpoint(args.checkpoint)
+        if args.checkpoint
+        else IterativeSolver.from_orbax_checkpoint(args.orbax, step=args.step)
+    )
     if args.testset and os.path.exists(args.testset):
         maps = load_maps(args.testset)[: args.num_samples]
     else:

@@ -371,6 +371,42 @@ class IterativeSolver:
         params, ckpt_cfg = load_reference_checkpoint(path)
         return cls(config or ckpt_cfg, params=params)
 
+    @classmethod
+    def from_orbax_checkpoint(
+        cls,
+        directory: str,
+        step: Optional[int] = None,
+        config: Optional[Config] = None,
+        best: bool = True,
+    ):
+        """Solver from a framework training run (orbax checkpoint dir).
+
+        step=None picks the manifest's best-val_loss step (the reference's
+        restore-best ModelCheckpoint semantics, train.py:90-97), falling
+        back to the latest. Makes from-scratch-trained weights first-class
+        in every eval/figure path alongside reference-format imports."""
+        from ..models import hybridnet
+        from ..train.checkpoint import (best_step, latest_step,
+                                        restore_checkpoint)
+        from ..train.loop import make_optimizer
+
+        cfg = config or Config()
+        if step is None:
+            step = (best_step(directory) if best else None) or latest_step(
+                directory
+            )
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {directory}")
+        template = hybridnet.init_params(jax.random.PRNGKey(0), cfg.model)
+        state = restore_checkpoint(
+            directory, step,
+            {"params": template,
+             "opt_state": make_optimizer(cfg).init(template),
+             "epoch": 0, "global_step": 0},
+            sharded=True,  # restore onto the template leaves' shardings
+        )
+        return cls(cfg, params=state["params"])
+
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "num_iterations", "collect", "decimate")
