@@ -296,15 +296,16 @@ def rollout_packed(
         res_p = residual_packed(op, wf_p, k_sq_p, src_p, g)
         rmse = rmse_packed(res_p, g)
         if track_best:
-            better = rmse.reshape(b // g, 1, 1, g, 1) < best_rmse.reshape(
-                b // g, 1, 1, g, 1
-            )
+            better = rmse < best_rmse  # [b]; False for NaN
             lead = wf_p.shape[:-1]
             best_wf = jnp.where(
-                better, wf_p.reshape(lead + (g, 2)),
+                better.reshape(b // g, 1, 1, g, 1),
+                wf_p.reshape(lead + (g, 2)),
                 best_wf.reshape(lead + (g, 2)),
             ).reshape(wf_p.shape)
-            best_rmse = jnp.minimum(rmse, best_rmse)
+            # NOT jnp.minimum: NaN from a diverging trajectory must not
+            # poison the best-so-far
+            best_rmse = jnp.where(better, rmse, best_rmse)
         ys = {"rmse": rmse} if "rmse" in collect else {}
         return (wf_p, res_p, states, best_wf, best_rmse), ys
 

@@ -92,12 +92,15 @@ def rollout(
     num_iterations: int,
     collect: tuple = ("rmse",),
     decimate: int = 1,
+    init=None,
 ):
     """Full inference rollout (reference forward, hybridnet.py:654-697).
 
     collect ⊆ {'rmse', 'wavefields', 'residuals', 'states'}; per-iteration
     outputs are optionally decimated by `decimate` to bound memory (the
     reference materializes all 1000 wavefields — SURVEY.md 3.3).
+    `init`: optional (wavefield, states) warm start — continues a previous
+    rollout's carry (host-level chunking of very long rollouts).
     Returns dict with 'wavefield', 'residual', 'states' (finals) plus stacked
     per-iteration arrays for each requested key.
     """
@@ -107,6 +110,8 @@ def rollout(
     states = get_architecture(cfg.model.architecture).init_states(
         sos_maps.shape[0], sos_maps.shape[1:3], cfg.model, sos_maps.dtype
     )
+    if init is not None:  # warm start (host-chunked long rollouts)
+        wavefield, states = init
     residual = helmholtz_residual(op, wavefield, k_sq, source, cfg.operator_mode)
     carry = SolverCarry(wavefield, residual, states)
     track_best = "best" in collect
@@ -123,7 +128,9 @@ def rollout(
             best_wf = jnp.where(
                 better[:, None, None, None], carry.wavefield, best_wf
             )
-            best_rmse = jnp.minimum(rmse, best_rmse)
+            # NOT jnp.minimum: once a diverging trajectory hits NaN it
+            # would poison the best-so-far; `better` is False for NaN
+            best_rmse = jnp.where(better, rmse, best_rmse)
         return (carry, best_wf, best_rmse), ys
 
     def outer_body(c, _):
@@ -300,8 +307,25 @@ class IterativeSolver:
         *,
         normalize_source: bool = True,
         best_iterate: bool = True,
+        chunk_iterations: Optional[int] = None,
+        restart_on_divergence: bool = False,
+        restart_factor: float = 10.0,
     ):
         """Run the learned solver. sos_maps: [B, H, W] (or [H, W]).
+
+        `chunk_iterations` splits the rollout into host-level chunks of at
+        most that many iterations (warm-started via rollout's `init`),
+        bounding the duration of a single device execution — required for
+        multi-thousand-iteration large-grid rollouts on runtimes that
+        limit one dispatch (the tunneled TPU worker crashes past ~30 s).
+
+        `restart_on_divergence` (needs chunking): the GMRES-restart analog
+        for the learned rollout — far-OOD problems can send the recurrent
+        hidden state into a diverging regime; when a sample ends a chunk
+        with rmse > restart_factor x its best-so-far, the next chunk
+        restarts that sample from its best-iterate wavefield with FRESH
+        hidden states. Residual-monotone containment for the OOD regimes
+        of PERF_NOTES.md (1024^2, extended/rescaled sources).
 
         Robustness wrappers for out-of-distribution problems (both default
         ON; the raw trajectory is available via `rollout`):
@@ -335,16 +359,56 @@ class IterativeSolver:
         eff_collect = tuple(collect)
         if best_iterate and "best" not in eff_collect:
             eff_collect = eff_collect + ("best",)
-        out = rollout(
-            self.params,
-            self.op,
-            source,
-            sos,
-            cfg=self.cfg,
-            num_iterations=iters,
-            collect=eff_collect,
-            decimate=decimate,
-        )
+        chunk = chunk_iterations or iters
+        if chunk % decimate or iters % chunk:
+            raise ValueError(
+                "need decimate | chunk_iterations | num_iterations")
+        if restart_on_divergence and "best" not in eff_collect:
+            eff_collect = eff_collect + ("best",)
+        out = None
+        for _ in range(iters // chunk):
+            init = None
+            if out is not None:
+                wf, states = out["wavefield"], out["states"]
+                if restart_on_divergence:
+                    end_rmse = residual_rmse(out["residual"])
+                    bad = end_rmse > restart_factor * out["best_rmse"]
+                    if bool(np.any(np.asarray(bad))):
+                        wf = jnp.where(bad[:, None, None, None],
+                                       out["best_wavefield"], wf)
+                        states = tuple(
+                            jnp.where(bad[:, None, None, None],
+                                      jnp.zeros_like(s), s)
+                            for s in states
+                        )
+                init = (wf, states)
+            part = rollout(
+                self.params,
+                self.op,
+                source,
+                sos,
+                cfg=self.cfg,
+                num_iterations=chunk,
+                collect=eff_collect,
+                decimate=decimate,
+                init=init,
+            )
+            if out is None:
+                out = part
+                continue
+            for key in ("rmse", "wavefields", "residuals"):
+                if key in part:
+                    out[key] = jnp.concatenate([out[key], part[key]], axis=0)
+            if "best_rmse" in part:  # merge best-iterate across chunks
+                better = part["best_rmse"] < out["best_rmse"]
+                out["best_wavefield"] = jnp.where(
+                    better[:, None, None, None],
+                    part["best_wavefield"], out["best_wavefield"],
+                )
+                out["best_rmse"] = jnp.minimum(part["best_rmse"],
+                                               out["best_rmse"])
+            for key in ("wavefield", "residual", "states"):
+                out[key] = part[key]
         if scale is not None:
             # undo the linear rescale on every solution-linear output
             inv = 1.0 / scale

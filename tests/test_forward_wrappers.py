@@ -68,3 +68,52 @@ class TestForwardWrappers:
         # with a random-init net the trajectory is not monotone: the best
         # iterate generally differs from the final one
         assert out["wavefield"].shape == out["final_wavefield"].shape
+
+
+class TestChunkedForward:
+    def test_chunked_equals_monolithic(self):
+        """forward(chunk_iterations=k) == forward(): warm-started chunks
+        are the same op sequence (residual is a pure function of the
+        wavefield), so rmse trace / best iterate / finals match exactly."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+        from tests.test_training import tiny_config
+
+        solver = IterativeSolver(tiny_config())
+        rng = np.random.default_rng(3)
+        sos = np.ones((2, 32, 32), np.float32)
+        sos[:, 8:20, 6:26] = 1.0 + rng.random((2, 12, 20)).astype(np.float32)
+        ref = solver.forward(sos, num_iterations=12, decimate=2)
+        got = solver.forward(sos, num_iterations=12, decimate=2,
+                             chunk_iterations=4)
+        np.testing.assert_array_equal(np.asarray(got["rmse"]),
+                                      np.asarray(ref["rmse"]))
+        np.testing.assert_array_equal(np.asarray(got["wavefield"]),
+                                      np.asarray(ref["wavefield"]))
+        np.testing.assert_array_equal(np.asarray(got["best_rmse"]),
+                                      np.asarray(ref["best_rmse"]))
+
+    def test_best_iterate_survives_nan_divergence(self):
+        """A diverging rollout (NaN tail) must not poison the best-so-far
+        tracking — jnp.minimum(nan, x) would."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+        from tests.test_training import tiny_config
+
+        solver = IterativeSolver(tiny_config())
+        # blow up the weights so the rollout diverges to NaN
+        solver.params = jax.tree.map(
+            lambda t: t * 100 if t.ndim == 4 else t, solver.params
+        )
+        sos = np.ones((1, 32, 32), np.float32)
+        out = solver.forward(sos, num_iterations=40)
+        rmse = np.asarray(out["rmse"])[:, 0]
+        assert not np.isfinite(rmse[-1])  # it really diverged
+        best = float(np.asarray(out["best_rmse"])[0])
+        assert np.isfinite(best)
+        assert np.isfinite(np.asarray(out["wavefield"])).all()

@@ -296,7 +296,10 @@ def rollout_1024():
     src = np.zeros((n, n, 2), np.float32)
     src[60, n // 4 : 3 * n // 4, 0] = 30.0
     solver.set_domain_size(n, source_map=src[None])
-    out = solver.forward(sos, num_iterations=3000, decimate=100)
+    # chunked: one 3000-iteration dispatch at 1024^2 (~40 s) crashes the
+    # tunneled worker; 300-iteration chunks stay well under its limit
+    out = solver.forward(sos, num_iterations=3000, decimate=100,
+                         chunk_iterations=300)
     rmse = np.asarray(out["rmse"])[:, 0]
     best = float(np.asarray(out["best_rmse"])[0])
     return {
@@ -317,7 +320,8 @@ def skull_512():
     solver = IterativeSolver.from_reference_checkpoint(ckpt)
     sos, source = skull_example_problem(512)
     solver.set_domain_size(512, source_map=source[None])
-    out = solver.forward(sos, num_iterations=3000, decimate=100)
+    out = solver.forward(sos, num_iterations=3000, decimate=100,
+                         chunk_iterations=600)
     rmse = np.asarray(out["rmse"])[:, 0]
     best = float(np.asarray(out["best_rmse"])[0])
     wf = np.asarray(out["wavefield"])[0]
