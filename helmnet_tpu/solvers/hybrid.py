@@ -43,8 +43,16 @@ def solve_hybrid(
     restart: int = 50,
     max_restarts: int = 10,
     tol: float = 1e-6,
+    precond: str = "none",
+    shift: tuple = (1.0, 0.5),
 ) -> HybridResult:
-    """Learned warm start + per-sample GMRES polish (vmapped)."""
+    """Learned warm start + per-sample GMRES polish (vmapped).
+
+    precond='shifted_laplace' right-preconditions the polish with the
+    CSLP operator (solvers/precond.py) — essential at high wavenumber
+    (large grids), where the bare Krylov polish itself stalls. The warm
+    start is mapped into the preconditioned variable (y0 = M x0) and the
+    reported residuals remain TRUE residuals of the original system."""
     out = rollout(
         params, op, source, sos_maps, cfg=cfg,
         num_iterations=learned_iterations, collect=("rmse", "best"),
@@ -56,9 +64,22 @@ def solve_hybrid(
         mv = make_helmholtz_matvec(op, ks, cfg.operator_mode)
         b = jax.lax.complex(src[..., 0], src[..., 1])
         x0 = jax.lax.complex(w[..., 0], w[..., 1])
-        x, rn, iters = gmres_restarted_early_exit(
-            mv, b, x0, restart=restart, max_restarts=max_restarts, tol=tol
-        )
+        if precond == "shifted_laplace":
+            from .precond import (make_shifted_laplace_forward,
+                                  make_shifted_laplace_inverse)
+
+            minv = make_shifted_laplace_inverse(op, ks, shift)
+            mfwd = make_shifted_laplace_forward(op, ks, shift)
+            y, rn, iters = gmres_restarted_early_exit(
+                lambda v: mv(minv(v)), b, mfwd(x0),
+                restart=restart, max_restarts=max_restarts, tol=tol,
+            )
+            x = minv(y)
+        else:
+            x, rn, iters = gmres_restarted_early_exit(
+                mv, b, x0, restart=restart, max_restarts=max_restarts,
+                tol=tol,
+            )
         rel = rn / jnp.maximum(jnp.linalg.norm(b.reshape(-1)), 1e-30)
         return jnp.stack([x.real, x.imag], axis=-1), rel, iters
 

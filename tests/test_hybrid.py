@@ -68,3 +68,35 @@ class TestHybrid:
         )
         assert int(res.gmres_iterations[0]) < int(cold_iters), (
             int(res.gmres_iterations[0]), int(cold_iters))
+
+    def test_cslp_preconditioned_polish(self):
+        """CSLP-preconditioned polish reports TRUE residuals and reaches
+        tolerance at least as well as the bare polish (warm start mapped
+        through y0 = M x0)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from helmnet_tpu.ops.spectral import helmholtz_residual
+        from helmnet_tpu.solvers.hybrid import solve_hybrid
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+        from tests.test_training import tiny_config
+
+        solver = IterativeSolver(tiny_config())
+        rng = np.random.default_rng(5)
+        sos = np.ones((1, 32, 32), np.float32)
+        sos[:, 12:22, 8:24] = 1.0 + rng.random((1, 10, 16)).astype(np.float32)
+        src = jnp.broadcast_to(solver.source, (1, 32, 32, 2))
+        hy = solve_hybrid(
+            solver.params, solver.op, src, jnp.asarray(sos),
+            cfg=solver.cfg, learned_iterations=5, restart=30,
+            max_restarts=10, tol=1e-5, precond="shifted_laplace",
+        )
+        rel = float(np.asarray(hy.final_relres)[0])
+        assert rel < 1e-4
+        # reported residual is the TRUE unpreconditioned residual
+        k_sq = (solver.cfg.source.omega / jnp.asarray(sos)) ** 2
+        r = helmholtz_residual(solver.op, hy.wavefield, k_sq, src, "matmul")
+        true_rel = float(
+            jnp.linalg.norm(r.reshape(-1)) / jnp.linalg.norm(src.reshape(-1))
+        )
+        assert abs(true_rel - rel) < 5e-2 * max(rel, 1e-6) + 1e-6

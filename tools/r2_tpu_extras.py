@@ -297,17 +297,39 @@ def rollout_1024():
     src[60, n // 4 : 3 * n // 4, 0] = 30.0
     solver.set_domain_size(n, source_map=src[None])
     # chunked: one 3000-iteration dispatch at 1024^2 (~40 s) crashes the
-    # tunneled worker; 300-iteration chunks stay well under its limit
-    out = solver.forward(sos, num_iterations=3000, decimate=100,
-                         chunk_iterations=300)
+    # tunneled worker; 150-iteration chunks stay well under its limit.
+    # This problem is FAR out of distribution (10x grid, extended line
+    # source) — the raw rollout diverges, the divergence-restart wrapper
+    # contains it (returned wavefield = best iterate), and the hybrid
+    # solver actually solves it.
+    out = solver.forward(sos, num_iterations=3000, decimate=150,
+                         chunk_iterations=150, restart_on_divergence=True)
     rmse = np.asarray(out["rmse"])[:, 0]
     best = float(np.asarray(out["best_rmse"])[0])
-    return {
+    res = {
         "final_rmse": float(rmse[-1]),
         "best_rmse": best,
-        "diverged": bool(~np.isfinite(rmse[-1]) or rmse[-1] > 10 * rmse[0]),
         "rmse_t0": float(rmse[0]),
+        "contained": bool(np.isfinite(best) and best < rmse[0]
+                          and np.isfinite(
+                              np.asarray(out["wavefield"]).ravel()[:8]).all()),
     }
+    print(f"  learned (restart-contained): {res}", flush=True)
+    # the robust far-OOD path: learned warm start + GMRES polish
+    from helmnet_tpu.solvers.hybrid import solve_hybrid
+
+    import jax.numpy as jnp
+
+    hy = solve_hybrid(
+        solver.params, solver.op, jnp.asarray(src[None]),
+        jnp.asarray(sos[None]), cfg=solver.cfg, learned_iterations=100,
+        restart=50, max_restarts=16, tol=1e-5, precond="shifted_laplace",
+        shift=(1.0, 0.3),
+    )
+    res["hybrid_relres"] = float(np.asarray(hy.final_relres)[0])
+    res["hybrid_warm_rmse"] = float(np.asarray(hy.warm_rmse)[0])
+    res["hybrid_gmres_iters"] = int(np.asarray(hy.gmres_iterations)[0])
+    return res
 
 
 @step("skull_512_plain_forward")
