@@ -51,8 +51,11 @@ def solve_hybrid(
     precond='shifted_laplace' right-preconditions the polish with the
     CSLP operator (solvers/precond.py) — essential at high wavenumber
     (large grids), where the bare Krylov polish itself stalls. The warm
-    start is mapped into the preconditioned variable (y0 = M x0) and the
-    reported residuals remain TRUE residuals of the original system."""
+    start enters as defect correction (solve A M^-1 y = b - A x0 from
+    y0 = 0, then x = x0 + M^-1 y): mapping x0 through M instead would
+    amplify its high-frequency error by the Laplacian symbol and poison
+    the Krylov space. Reported residuals remain TRUE residuals of the
+    original system (A x - b == A M^-1 y - b_eff)."""
     out = rollout(
         params, op, source, sos_maps, cfg=cfg,
         num_iterations=learned_iterations, collect=("rmse", "best"),
@@ -65,16 +68,17 @@ def solve_hybrid(
         b = jax.lax.complex(src[..., 0], src[..., 1])
         x0 = jax.lax.complex(w[..., 0], w[..., 1])
         if precond == "shifted_laplace":
-            from .precond import (make_shifted_laplace_forward,
-                                  make_shifted_laplace_inverse)
+            from .precond import make_shifted_laplace_inverse
 
             minv = make_shifted_laplace_inverse(op, ks, shift)
-            mfwd = make_shifted_laplace_forward(op, ks, shift)
+            b_eff = b - mv(x0)
             y, rn, iters = gmres_restarted_early_exit(
-                lambda v: mv(minv(v)), b, mfwd(x0),
-                restart=restart, max_restarts=max_restarts, tol=tol,
+                lambda v: mv(minv(v)), b_eff, jnp.zeros_like(b_eff),
+                restart=restart, max_restarts=max_restarts,
+                tol=tol * jnp.linalg.norm(b.reshape(-1))
+                / jnp.maximum(jnp.linalg.norm(b_eff.reshape(-1)), 1e-30),
             )
-            x = minv(y)
+            x = x0 + minv(y)
         else:
             x, rn, iters = gmres_restarted_early_exit(
                 mv, b, x0, restart=restart, max_restarts=max_restarts,
