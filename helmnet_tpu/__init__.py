@@ -43,6 +43,7 @@ from .ops.stencil import (  # noqa: F401
     make_stencil_operator,
 )
 from .solvers.gmres import solve_helmholtz, solve_helmholtz_batch  # noqa: F401
+from .solvers.fgmres import solve_fgmres_learned  # noqa: F401
 from .solvers.hybrid import solve_hybrid  # noqa: F401
 from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
 from .solvers.timedomain import solve_cw  # noqa: F401
@@ -81,6 +82,7 @@ __all__ = [
     "make_stencil_operator",
     "solve_helmholtz",
     "solve_helmholtz_batch",
+    "solve_fgmres_learned",
     "solve_hybrid",
     "solve_cw",
     "IterativeSolver",
