@@ -215,8 +215,17 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        base_gps = base.get("gridpoints_per_s_500", base["gridpoints_per_s"])
-        vs = primary["gridpoints_per_s"] / base_gps
+        if primary["iterations"] == 500 and "gridpoints_per_s_500" in base:
+            base_gps = base["gridpoints_per_s_500"]
+        elif primary["iterations"] == base["config"]["iterations"]:
+            base_gps = base["gridpoints_per_s"]
+        else:  # never compare across different workloads silently
+            base_gps = None
+            details["baseline_workload_mismatch"] = (
+                f"primary iters {primary['iterations']} vs baseline "
+                f"{base['config']['iterations']}; re-run "
+                "tools/bench_torch_baseline.py")
+        vs = primary["gridpoints_per_s"] / base_gps if base_gps else None
         details["baseline"] = base
 
     with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:

@@ -363,6 +363,15 @@ class IterativeSolver:
         if chunk % decimate or iters % chunk:
             raise ValueError(
                 "need decimate | chunk_iterations | num_iterations")
+        if chunk_iterations and chunk < iters and "states" in eff_collect:
+            # rollout's collected states trace shares the 'states' key
+            # with the final carry the warm start needs
+            raise ValueError(
+                "collect='states' is unsupported with chunk_iterations")
+        if restart_on_divergence and chunk >= iters:
+            raise ValueError(
+                "restart_on_divergence needs chunk_iterations < "
+                "num_iterations (restarts happen at chunk boundaries)")
         if restart_on_divergence and "best" not in eff_collect:
             eff_collect = eff_collect + ("best",)
         out = None
@@ -456,9 +465,9 @@ class IterativeSolver:
 
         cfg = config or Config()
         if step is None:
-            step = (best_step(directory) if best else None) or latest_step(
-                directory
-            )
+            step = best_step(directory) if best else None
+            if step is None:  # explicit None check: step 0 is valid
+                step = latest_step(directory)
             if step is None:
                 raise FileNotFoundError(f"no checkpoints under {directory}")
         template = hybridnet.init_params(jax.random.PRNGKey(0), cfg.model)

@@ -65,27 +65,10 @@ def make_shifted_laplace_inverse(
     return minv
 
 
-def make_shifted_laplace_forward(
-    op: SpectralPML,
-    k_sq: jax.Array,
-    shift: Tuple[float, float] = (1.0, 0.5),
-    kref: str = "mean",
-) -> Callable[[jax.Array], jax.Array]:
-    """Forward apply of M = nabla^2 + (b1 + i b2) kref^2 (same FFT
-    diagonalization as the inverse). Needed to map a warm-start x0 into
-    the right-preconditioned variable: y0 = M x0 solves A M^-1 y = b
-    starting from x0."""
-    b1, b2 = shift
-    kref2 = jnp.mean(k_sq) if kref == "mean" else jnp.max(k_sq)
-    sym = -(op.ky[:, None] ** 2 + op.kx[None, :] ** 2)
-
-    def mfwd(v: jax.Array) -> jax.Array:
-        diag = sym.astype(v.real.dtype) + jax.lax.complex(
-            (b1 * kref2).astype(v.real.dtype), (b2 * kref2).astype(v.real.dtype)
-        )
-        return jnp.fft.ifft2(jnp.fft.fft2(v) * diag)
-
-    return mfwd
+# NOTE: no forward-apply (y0 = M x0) helper on purpose — mapping a warm
+# start through M amplifies its high-frequency error by the Laplacian
+# symbol and poisons the Krylov space; warm starts enter preconditioned
+# solves as defect correction instead (solvers/hybrid.py).
 
 
 # ---------------------------------------------------------------------------

@@ -249,8 +249,8 @@ def gmres_2048():
     def chunked(precond, restart, n_cycles, shift=(1.0, 0.3)):
         t0 = time.time()
         u = jnp.zeros((n, n, 2), jnp.float32)
-        hist = []
-        for cyc in range(n_cycles):
+        hist, cycles_run = [], 0
+        for _ in range(n_cycles):
             b_eff, rnorm = neg_residual(u)
             hist.append(float(np.asarray(rnorm)) / src_norm)
             if hist[-1] < 1e-6 or time.time() - t0 > budget_s:
@@ -259,13 +259,15 @@ def gmres_2048():
                                 max_restarts=1, tol=1e-12, precond=precond,
                                 shift=shift)
             u = u + r.x
+            cycles_run += 1
             del r
-        _, rnorm = neg_residual(u)
-        hist.append(float(np.asarray(rnorm)) / src_norm)
+        else:  # loop exhausted without break: record the final residual
+            _, rnorm = neg_residual(u)
+            hist.append(float(np.asarray(rnorm)) / src_norm)
         print(f"  [{precond}] rel residual trajectory: "
               f"{[round(h, 6) for h in hist]}", flush=True)
         return {"rel_residual": hist[-1], "trajectory": hist,
-                "iterations": restart * (len(hist) - 1),
+                "iterations": restart * cycles_run,
                 "seconds": round(time.time() - t0, 1)}
 
     res = {"none": chunked("none", 100, 12),
