@@ -87,6 +87,7 @@ def main():
             ckpt_dir, step,
             {"params": template_params, "opt_state": opt_template,
              "epoch": 0, "global_step": 0},
+            sharded=True,  # restore onto template shardings (works on CPU)
         )
         params = state["params"]
         out_r = rollout(params, op, sources, maps_dev, cfg=cfg,
