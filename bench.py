@@ -29,14 +29,37 @@ def time_left() -> float:
     return BUDGET_S - (time.time() - T_START)
 
 
+def _tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the tunneled TPU in a SUBPROCESS with a timeout: when the
+    axon worker is down, jax.devices() blocks forever in-process and the
+    driver would record no bench line at all."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [os.sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     import jax
 
     # The ambient axon setup pre-imports jax pinned to the TPU tunnel;
     # BENCH_PLATFORM=cpu forces a local-CPU run (used to exercise this
     # harness while the chip is busy — shell env alone is ineffective).
+    tpu_unreachable = False
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    elif not _tpu_reachable():
+        # worker outage: fall back to CPU so the ONE JSON line still
+        # prints; the result is flagged and not TPU-comparable
+        jax.config.update("jax_platforms", "cpu")
+        tpu_unreachable = True
     import jax.numpy as jnp
 
     from helmnet_tpu.core.config import Config
@@ -135,6 +158,8 @@ def main():
     primary = bench_case(96, 32, 500, up_mode="subpixel")
     details = {"platform": platform, "device": str(dev),
                "primary_subpixel_500": primary}
+    if tpu_unreachable:
+        details["tpu_unreachable_cpu_fallback"] = True
     if time_left() > 150:
         try:
             dil = bench_case(96, 32, 500)
