@@ -85,6 +85,28 @@ def main():
     np.testing.assert_allclose(got, ref, atol=0)
     print(f"[worker {pid}] CKPT_ROUNDTRIP_OK", flush=True)
 
+    # ---- spatial-DD stencil residual on the cross-host hybrid mesh ----
+    # batch over DCN (the production layout), y/x halo exchange within
+    # hosts; result must equal the single-device reference bit-exactly
+    from helmnet_tpu.distributed.halo import make_sharded_stencil_residual
+    from helmnet_tpu.ops import stencil
+
+    mesh2 = make_mesh(ParallelConfig(data=2, y=2, x=2))
+    st = stencil.make_stencil_operator(32, 32, 4, 2.0, 1.0, order=2)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((2, 32, 32, 2)).astype(np.float32)
+    ksq = np.ones((2, 32, 32), np.float32)
+    srcm = np.zeros((2, 32, 32, 2), np.float32)
+    want = np.asarray(stencil.helmholtz_residual_stencil(
+        st, jnp.asarray(u), jnp.asarray(ksq), jnp.asarray(srcm)))
+    sh4 = NamedSharding(mesh2, P("data", "y", "x", None))
+    sh3 = NamedSharding(mesh2, P("data", "y", "x"))
+    residual2 = make_sharded_stencil_residual(mesh2, st)
+    got2 = fetch_global(residual2(
+        put_global(u, sh4), put_global(ksq, sh3), put_global(srcm, sh4)))
+    np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-6)
+    print(f"[worker {pid}] SPATIAL_DD_OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

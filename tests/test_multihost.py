@@ -75,6 +75,7 @@ class TestMultihost:
         for pid, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"worker {pid} failed:\n{out}"
             assert "CKPT_ROUNDTRIP_OK" in out, out
+            assert "SPATIAL_DD_OK" in out, out
 
         losses = []
         for out in outs:
