@@ -127,6 +127,11 @@ class TrainingConfig:
     # (hybridnet.py:178-190); a nonzero value trains the generalization the
     # validation measures (our extension — 0.0 reproduces the reference).
     p_random_source: float = 0.0
+    # probability that a restarted replay slot draws a random extended
+    # line-segment source (our far-OOD curriculum; the reference has no
+    # extended sources at all, and its checkpoint diverges on them —
+    # PERF_NOTES.md 1024^2 limitation). 0.0 reproduces the reference.
+    p_extended_source: float = 0.0
 
     @staticmethod
     def from_json(d: dict) -> "TrainingConfig":
@@ -141,6 +146,7 @@ class TrainingConfig:
             test_batch_size=int(d.get("test batch size", 128)),
             weight_decay=float(d.get("weight_decay", 1e-6)),
             p_random_source=float(d.get("p random source", 0.0)),
+            p_extended_source=float(d.get("p extended source", 0.0)),
         )
 
 

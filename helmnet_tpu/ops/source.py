@@ -67,6 +67,64 @@ def point_source_map(
     return np.stack([amp * np.cos(ct), amp * np.sin(ct)], axis=-1).astype(np.float32)
 
 
+def line_source_amplitude(
+    height: int,
+    width: int,
+    start: tuple[int, int],
+    end: tuple[int, int],
+    amplitude: float = 1.0,
+    smooth: bool = False,
+) -> np.ndarray:
+    """|amplitude map| of an extended segment source, float64 [H, W].
+
+    Rasterizes the segment from `start` to `end` (inclusive, (row, col)
+    pixel coordinates) by dense parametric sampling, then takes the same
+    fft round trip as the point source so smoothing semantics match
+    (helmnet/source_module.py:41-79). Extended sources are OUR training
+    extension: the reference trains point sources only, and its model
+    diverges on the far-OOD extended-line problems (PERF_NOTES.md) — a
+    curriculum over segments teaches the regime directly.
+    """
+    r0, c0 = float(start[0]), float(start[1])
+    r1, c1 = float(end[0]), float(end[1])
+    for r, c in ((r0, c0), (r1, c1)):
+        if not (0 <= r < height and 0 <= c < width):
+            raise ValueError(
+                f"segment endpoint {(r, c)} outside the {height}x{width} grid"
+            )
+    n = max(int(np.hypot(r1 - r0, c1 - c0) * 2) + 1, 2)
+    t = np.linspace(0.0, 1.0, n)
+    rows = np.clip(np.round(r0 + t * (r1 - r0)).astype(int), 0, height - 1)
+    cols = np.clip(np.round(c0 + t * (c1 - c0)).astype(int), 0, width - 1)
+    spatial = np.zeros((height, width), dtype=np.float64)
+    spatial[rows, cols] = amplitude
+    freq = np.fft.fftshift(np.fft.fft2(spatial))
+    if smooth:
+        by = periodic_blackman(height)
+        bx = periodic_blackman(width)
+        freq = freq * np.outer(by, bx)
+    return np.abs(np.fft.ifft2(np.fft.ifftshift(freq)))
+
+
+def line_source_map(
+    height: int,
+    width: int,
+    start: tuple[int, int],
+    end: tuple[int, int],
+    amplitude: float = 1.0,
+    phase: float = 0.0,
+    omega: float = 1.0,
+    t: float = 0.0,
+    smooth: bool = False,
+) -> np.ndarray:
+    """Extended-segment complex source as channel-pair float32 [H, W, 2]."""
+    amp = line_source_amplitude(height, width, start, end, amplitude, smooth)
+    ct = omega * t + phase
+    return np.stack([amp * np.cos(ct), amp * np.sin(ct)], axis=-1).astype(
+        np.float32
+    )
+
+
 def source_batch_from_locations(
     height: int,
     width: int,

@@ -142,27 +142,34 @@ def solve_fgmres_learned(
     )
     precond = lambda v: precond_field(v.reshape(shape)).reshape(-1)
 
+    # b is passed as an ARGUMENT to the jitted functions, never closed
+    # over: jit lowering embeds closures as host-fetched constants, and
+    # complex64 host<->device transfer is unimplemented on the axon
+    # runtime (CLAUDE.md); arguments stay device-resident.
+    bvec = b.reshape(-1)
     cycle = jax.jit(
-        functools.partial(_fgmres_cycle, mv, precond, b.reshape(-1),
-                          restart=restart)
+        functools.partial(_fgmres_cycle, mv, precond, restart=restart)
     )
 
     @jax.jit
-    def true_relres(x):
-        r = b.reshape(-1) - mv(x)
-        return jnp.linalg.norm(r) / jnp.maximum(
-            jnp.linalg.norm(b.reshape(-1)), 1e-30)
+    def true_relres(bv, x):
+        r = bv - mv(x)
+        return jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(bv), 1e-30)
 
-    x = (jnp.zeros_like(b).reshape(-1) if x0 is None
+    # complex zeros must be BUILT on device from f32 (eager
+    # jnp.zeros_like on complex64 round-trips a complex literal through
+    # the unimplemented axon transfer path)
+    zero_f = jnp.zeros(bvec.shape, jnp.float32)
+    x = (jax.lax.complex(zero_f, zero_f) if x0 is None
          else jax.lax.complex(x0[..., 0], x0[..., 1]).reshape(-1))
-    norms = [float(np.asarray(true_relres(x)))]
+    norms = [float(np.asarray(true_relres(bvec, x)))]
     it = 0
     for _ in range(max_restarts):
         if norms[-1] < tol:
             break
-        x = cycle(x)
+        x = cycle(bvec, x)
         it += restart
-        norms.append(float(np.asarray(true_relres(x))))
+        norms.append(float(np.asarray(true_relres(bvec, x))))
         if verbose:
             print(f"  fgmres[{it}]: rel={norms[-1]:.3e}", flush=True)
     xf = x.reshape(shape)

@@ -33,7 +33,7 @@ from ..core.config import Config
 from ..core.meshes import shard_batch
 from ..models import hybridnet
 from ..models.registry import get_architecture
-from ..ops.source import point_source_map
+from ..ops.source import line_source_map, point_source_map
 from ..ops.spectral import helmholtz_residual, make_operator
 from ..solvers.iterative import (
     SolverCarry,
@@ -246,8 +246,9 @@ class Trainer:
         """[K, H, W, 2] candidate training sources. Index 0 is the fixed
         training source (hybridnet.py:145-156); when p_random_source > 0 the
         distinct integer circle locations of the validation protocol
-        (hybridnet.py:178-190) fill the remaining indices so restarted replay
-        slots can draw unseen source positions during training."""
+        (hybridnet.py:178-190) fill the next indices; when
+        p_extended_source > 0 a seeded pool of random line segments follows
+        (our far-OOD curriculum — the reference trains point sources only)."""
         s = self.cfg.source
         maps = [np.asarray(self.source_map)]
         if self.cfg.training.p_random_source > 0:
@@ -264,17 +265,56 @@ class Trainer:
                         s.phase, s.omega, 0.0, s.smoothing,
                     )
                 )
+        self._n_point_sources = len(maps)
+        if self.cfg.training.p_extended_source > 0:
+            seg_rng = np.random.default_rng(4242)
+            for _ in range(256):
+                p0, p1 = self.random_line_endpoints(seg_rng)
+                maps.append(
+                    line_source_map(
+                        self.height, self.width, p0, p1, s.amplitude,
+                        s.phase, s.omega, 0.0, s.smoothing,
+                    )
+                )
         return np.stack(maps).astype(np.float32)
 
+    def random_line_endpoints(self, rng=None):
+        """Endpoints of a random interior segment: center anywhere outside
+        the PML, random orientation, length uniform in [n/8, n/2]."""
+        rng = rng if rng is not None else self.rng
+        n = min(self.height, self.width)
+        margin = self.cfg.geometry.pml_size + 4
+        length = rng.uniform(n / 8, n / 2)
+        theta = rng.uniform(0, np.pi)
+        dr = 0.5 * length * np.sin(theta)
+        dc = 0.5 * length * np.cos(theta)
+        cr = rng.uniform(margin + abs(dr), self.height - margin - abs(dr))
+        cc = rng.uniform(margin + abs(dc), self.width - margin - abs(dc))
+        p0 = (int(round(cr - dr)), int(round(cc - dc)))
+        p1 = (int(round(cr + dr)), int(round(cc + dc)))
+        return p0, p1
+
     def _sample_src_idx(self, n: int) -> np.ndarray:
-        """Per-slot source-pool indices: fixed source with probability
-        1 - p_random_source, else a uniform random circle source."""
-        p = self.cfg.training.p_random_source
+        """Per-slot source-pool indices: extended segment with probability
+        p_extended_source, else a random circle source with probability
+        p_random_source, else the fixed training source."""
+        p_rand = self.cfg.training.p_random_source
+        p_ext = self.cfg.training.p_extended_source
         k = self.src_pool.shape[0]
-        if p <= 0 or k == 1:
+        if (p_rand <= 0 and p_ext <= 0) or k == 1:
             return np.zeros(n, np.int64)
-        rand = self.rng.integers(1, k, size=n)
-        return np.where(self.rng.random(n) < p, rand, 0)
+        n_pt = self._n_point_sources
+        idx = np.zeros(n, np.int64)
+        u = self.rng.random(n)
+        if p_ext > 0 and k > n_pt:
+            ext = u < p_ext
+            idx[ext] = self.rng.integers(n_pt, k, size=int(ext.sum()))
+        else:
+            ext = np.zeros(n, bool)
+        if p_rand > 0 and n_pt > 1:
+            circ = (~ext) & (u < p_ext + p_rand)
+            idx[circ] = self.rng.integers(1, n_pt, size=int(circ.sum()))
+        return idx
 
     def fill_buffer(self, sos_maps: np.ndarray):
         """Seed all slots with fresh problems; slot i gets starting age 10*i
@@ -444,16 +484,30 @@ class Trainer:
         dL = L - self.cfg.geometry.pml_size - 2
         return (int(L + dL * np.cos(theta)), int(L + dL * np.sin(theta)))
 
-    def make_val_sources(self, n: int, seed: int = 1234) -> np.ndarray:
+    def make_val_sources(
+        self, n: int, seed: int = 1234, extended_frac: float = 0.0
+    ) -> np.ndarray:
         """Fixed random-circle validation sources [n, H, W, 2]: a dedicated
         seed keeps the set identical across epochs so in-run top-k selection
-        compares checkpoints on the same problems (eval protocol parity)."""
+        compares checkpoints on the same problems (eval protocol parity).
+        `extended_frac` > 0 replaces that fraction (the first entries) with
+        seeded random line segments so selection also scores the
+        extended-source regime the far-OOD problems live in."""
         s = self.cfg.source
         rng = np.random.default_rng(seed)
         L = self.height // 2
         dL = L - self.cfg.geometry.pml_size - 2
+        n_ext = int(round(n * extended_frac))
         out = []
-        for _ in range(n):
+        for _ in range(n_ext):
+            p0, p1 = self.random_line_endpoints(rng)
+            out.append(
+                line_source_map(
+                    self.height, self.width, p0, p1, s.amplitude, s.phase,
+                    s.omega, 0.0, s.smoothing,
+                )
+            )
+        for _ in range(n - n_ext):
             th = 2 * np.pi * rng.random()
             loc = (int(L + dL * np.cos(th)), int(L + dL * np.sin(th)))
             out.append(

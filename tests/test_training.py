@@ -126,6 +126,56 @@ class TestTrainerSmoke:
         assert np.isfinite(out["val_loss"])
 
 
+class TestExtendedSourceCurriculum:
+    """Line-segment source curriculum (our far-OOD extension; the reference
+    trains point sources only — hybridnet.py:145-156)."""
+
+    def test_line_source_map(self):
+        from helmnet_tpu.ops.source import line_source_map, point_source_map
+
+        m = line_source_map(32, 32, (8, 6), (8, 25), amplitude=10.0)
+        assert m.shape == (32, 32, 2) and m.dtype == np.float32
+        # the segment row carries ~uniform amplitude; elsewhere ~0
+        assert m[8, 6:26, 0].min() > 5.0
+        assert abs(m[20, 16, 0]) < 1e-6
+        # a degenerate segment equals the point source
+        p = point_source_map(32, 32, (8, 6), amplitude=10.0)
+        d = line_source_map(32, 32, (8, 6), (8, 6), amplitude=10.0)
+        np.testing.assert_allclose(d, p, atol=1e-6)
+
+    def test_pool_and_sampling(self):
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = cfg.replace(
+            training=dataclasses.replace(
+                cfg.training, p_random_source=0.3, p_extended_source=0.4
+            )
+        )
+        trainer = Trainer(cfg, key=None)
+        pool = np.asarray(trainer.src_pool)
+        n_pt = trainer._n_point_sources
+        assert pool.shape[0] == n_pt + 256
+        idx = trainer._sample_src_idx(4000)
+        frac_ext = (idx >= n_pt).mean()
+        frac_circ = ((idx >= 1) & (idx < n_pt)).mean()
+        frac_fixed = (idx == 0).mean()
+        assert abs(frac_ext - 0.4) < 0.05
+        assert abs(frac_circ - 0.3) < 0.05
+        assert abs(frac_fixed - 0.3) < 0.05
+
+    def test_val_sources_extended_frac(self):
+        cfg = tiny_config()
+        trainer = Trainer(cfg, key=None)
+        src = trainer.make_val_sources(8, extended_frac=0.5)
+        assert src.shape == (8, 32, 32, 2)
+        # extended sources put energy on many more pixels than points
+        amp = np.abs(src[..., 0])
+        support = (amp > 0.5 * amp.max(axis=(1, 2), keepdims=True)).sum((1, 2))
+        assert (support[:4] > 4).all(), support
+        assert (support[4:] <= 4).all(), support
+
+
 class TestGenerateDatasetCLI:
     def test_cli_generates_splits(self, tmp_path):
         from helmnet_tpu.cli.generate_dataset import main

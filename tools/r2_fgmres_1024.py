@@ -28,7 +28,8 @@ def main():
     from helmnet_tpu.solvers.fgmres import solve_fgmres_learned
     from helmnet_tpu.solvers.iterative import IterativeSolver
 
-    ckpt = os.path.join(ROOT, "checkpoints", "tpu_r2b")
+    ckpt = os.path.join(ROOT, "checkpoints", os.environ.get(
+        "HELMNET_CKPT_TAG", "tpu_r2c"))
     solver = IterativeSolver.from_orbax_checkpoint(ckpt)
     n = 1024
     rng = np.random.default_rng(0)

@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--tag", type=str, default="tpu_r2")
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--p-random-source", type=float, default=0.0)
+    ap.add_argument("--p-extended-source", type=float, default=0.0,
+                    help="fraction of restarted slots drawing a random line-"
+                         "segment source (far-OOD curriculum)")
+    ap.add_argument("--val-extended-frac", type=float, default=0.0,
+                    help="fraction of the fixed validation set using line-"
+                         "segment sources (scores the extended regime in-run)")
     ap.add_argument("--top-k", type=int, default=3)
     ap.add_argument("--val-every", type=int, default=10)
     ap.add_argument("--val-iters", type=int, default=500)
@@ -55,6 +61,7 @@ def main():
         training=dataclasses.replace(
             cfg.training,
             p_random_source=args.p_random_source,
+            p_extended_source=args.p_extended_source,
             **({"learning_rate": args.lr} if args.lr else {}),
             **({"max_epochs": args.max_epochs} if args.max_epochs else {}),
         ),
@@ -92,7 +99,9 @@ def main():
         print(f"warm start from {args.init_from} best (epoch {trainer.epoch}) "
               f"lr {trainer.scheduler.lr:.2e}", flush=True)
     trainer.fill_buffer(train_maps)
-    val_sources = trainer.make_val_sources(len(val_maps))
+    val_sources = trainer.make_val_sources(
+        len(val_maps), extended_frac=args.val_extended_frac
+    )
 
     deadline = time.time() + args.hours * 3600
     while time.time() < deadline and trainer.epoch < cfg.training.max_epochs:
