@@ -111,25 +111,100 @@ def _fgmres_cycle(matvec, precond, b, x0, restart: int):
         beta > 0, 0.0, 1.0) * x0
 
 
-def solve_fgmres_learned(
-    params,
+def _make_host_arnoldi_cycle(mv, precond, restart: int):
+    """FGMRES(m) cycle driven from the host: ONE device dispatch per
+    Krylov step (preconditioner apply + matvec + CGS2 orthogonalization),
+    so arbitrarily expensive preconditioners — e.g. hundreds of learned
+    rollout iterations at 1024^2 — never exceed the runtime's
+    single-dispatch duration limit (CLAUDE.md: the tunneled worker
+    crashes past ~30 s per dispatch; a whole-cycle jit with a deep
+    preconditioner did exactly that). The small Hessenberg least-squares
+    is solved on the host in complex128 — a free numerics upgrade over
+    the on-device f32 path. All host<->device traffic is f32 split re/im
+    (complex transfers are unimplemented on axon)."""
+
+    @jax.jit
+    def alloc(bv, x):
+        r0 = bv - mv(x)
+        beta = jnp.linalg.norm(r0)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((restart + 1, bv.shape[0]), bv.dtype).at[0].set(
+            r0 / safe
+        )
+        Z = jnp.zeros((restart, bv.shape[0]), bv.dtype)
+        return V, Z, beta.real
+
+    @jax.jit
+    def step(V, Z, j):
+        z = precond(V[j])
+        w = mv(z)
+        # classical Gram-Schmidt with one reorthogonalization (CGS2):
+        # two [m+1, n] matmuls per step ride the MXU and match MGS
+        # stability in practice
+        mask = (jnp.arange(V.shape[0]) <= j)[:, None]
+        Vm = jnp.where(mask, V, 0)
+        h1 = Vm.conj() @ w
+        w = w - Vm.T @ h1
+        h2 = Vm.conj() @ w
+        w = w - Vm.T @ h2
+        h = h1 + h2
+        hn = jnp.linalg.norm(w)
+        safe = jnp.where(hn > 0, hn, 1.0)
+        hcol = h.at[j + 1].set(hn.astype(h.dtype))
+        V = V.at[j + 1].set(w / safe)
+        Z = Z.at[j].set(z)
+        return V, Z, jnp.stack([hcol.real, hcol.imag]).astype(jnp.float32)
+
+    @jax.jit
+    def update(x, Z, y_re, y_im):
+        y = jax.lax.complex(y_re, y_im).astype(Z.dtype)
+        return x + Z.T @ y
+
+    def cycle(bvec, x):
+        V, Z, beta = alloc(bvec, x)
+        beta = float(np.asarray(beta))
+        if beta == 0.0:
+            return x
+        H = np.zeros((restart + 1, restart), np.complex128)
+        for j in range(restart):
+            V, Z, hpair = step(V, Z, jnp.int32(j))
+            hp = np.asarray(hpair, np.float64)
+            H[:, j] = hp[0] + 1j * hp[1]
+        e1 = np.zeros(restart + 1, np.complex128)
+        e1[0] = beta
+        y, *_ = np.linalg.lstsq(H, e1, rcond=None)
+        return update(
+            x, Z,
+            jnp.asarray(y.real, jnp.float32),
+            jnp.asarray(y.imag, jnp.float32),
+        )
+
+    return cycle
+
+
+def solve_fgmres(
     op,
     source: jax.Array,
     sos_map: jax.Array,
     *,
     cfg: Config,
-    inner_iterations: int = 20,
+    precond_field,
     restart: int = 10,
     max_restarts: int = 10,
     tol: float = 1e-5,
     x0: jax.Array | None = None,
+    host_arnoldi: bool = False,
     verbose: bool = False,
 ) -> FGMRESResult:
-    """Solve A u = s with learned-preconditioned flexible GMRES.
+    """Solve A u = s with flexible GMRES under ANY (possibly nonlinear,
+    iteration-varying) right preconditioner `precond_field`: complex
+    [H, W] -> complex [H, W].
 
     source: [H, W, 2] channel pair; sos_map: [H, W]. One restart cycle
     per device dispatch (host loop), so arbitrarily long solves respect
-    single-dispatch limits. Returns true relative residual history.
+    single-dispatch limits; `host_arnoldi=True` tightens that to one
+    dispatch per Krylov STEP for deep/expensive preconditioners.
+    Returns true relative residual history.
     """
     source = jnp.asarray(source)
     b = jax.lax.complex(source[..., 0], source[..., 1])
@@ -137,9 +212,6 @@ def solve_fgmres_learned(
     k_sq = (cfg.source.omega / jnp.asarray(sos_map, jnp.float32)) ** 2
     mv_field = make_helmholtz_matvec(op, k_sq, cfg.operator_mode)
     mv = lambda v: mv_field(v.reshape(shape)).reshape(-1)
-    precond_field = make_learned_preconditioner(
-        params, op, sos_map, cfg=cfg, iterations=inner_iterations
-    )
     precond = lambda v: precond_field(v.reshape(shape)).reshape(-1)
 
     # b is passed as an ARGUMENT to the jitted functions, never closed
@@ -147,9 +219,12 @@ def solve_fgmres_learned(
     # complex64 host<->device transfer is unimplemented on the axon
     # runtime (CLAUDE.md); arguments stay device-resident.
     bvec = b.reshape(-1)
-    cycle = jax.jit(
-        functools.partial(_fgmres_cycle, mv, precond, restart=restart)
-    )
+    if host_arnoldi:
+        cycle = _make_host_arnoldi_cycle(mv, precond, restart)
+    else:
+        cycle = jax.jit(
+            functools.partial(_fgmres_cycle, mv, precond, restart=restart)
+        )
 
     @jax.jit
     def true_relres(bv, x):
@@ -177,4 +252,31 @@ def solve_fgmres_learned(
         wavefield=jnp.stack([xf.real, xf.imag], axis=-1),
         residual_norms=jnp.asarray(norms),
         iterations=it,
+    )
+
+
+def solve_fgmres_learned(
+    params,
+    op,
+    source: jax.Array,
+    sos_map: jax.Array,
+    *,
+    cfg: Config,
+    inner_iterations: int = 20,
+    restart: int = 10,
+    max_restarts: int = 10,
+    tol: float = 1e-5,
+    x0: jax.Array | None = None,
+    host_arnoldi: bool = False,
+    verbose: bool = False,
+) -> FGMRESResult:
+    """Flexible GMRES with the LEARNED solver as the preconditioner
+    (see module docstring). Thin front end over solve_fgmres."""
+    precond_field = make_learned_preconditioner(
+        params, op, sos_map, cfg=cfg, iterations=inner_iterations
+    )
+    return solve_fgmres(
+        op, source, sos_map, cfg=cfg, precond_field=precond_field,
+        restart=restart, max_restarts=max_restarts, tol=tol, x0=x0,
+        host_arnoldi=host_arnoldi, verbose=verbose,
     )

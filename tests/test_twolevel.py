@@ -1,0 +1,124 @@
+"""Two-level (coarse-grid corrected) flexible GMRES (solvers/twolevel.py).
+
+The coarse level is a factor-2 rediscretized spectral operator solved
+approximately on device; the outer flexible iteration tolerates the
+inexact solve. The reference's MATLAB GMRES is unpreconditioned
+(matlab/spectral_gmres_solver.m:95-115) — this subsystem exists for the
+strong-heterogeneity high-wavenumber regime it cannot reach.
+"""
+
+import numpy as np
+
+from helmnet_tpu.core.config import Config, GeometryConfig
+from helmnet_tpu.ops.spectral import make_operator
+from helmnet_tpu.solvers.gmres import solve_helmholtz
+from helmnet_tpu.solvers.twolevel import (
+    resize_complex,
+    solve_fgmres_two_level,
+)
+
+
+def _problem(n=96, pml=8):
+    import jax.numpy as jnp
+
+    cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=pml,
+                                         sigma_max=2.0))
+    op = make_operator(n, n, pml, cfg.geometry.sigma_max, cfg.k0)
+    rng = np.random.default_rng(3)
+    sos = np.ones((n, n), np.float32)
+    sos[n // 3: 2 * n // 3, n // 4: 3 * n // 4] = (
+        1.0 + rng.random((n // 3, n // 2)).astype(np.float32)
+    )
+    src = np.zeros((n, n, 2), np.float32)
+    src[2 * n // 3, n // 4: 3 * n // 4, 0] = 10.0
+    return cfg, op, jnp.asarray(sos), jnp.asarray(src)
+
+
+class TestResize:
+    def test_roundtrip_preserves_smooth_fields(self):
+        import jax
+        import jax.numpy as jnp
+
+        y, x = np.mgrid[0:64, 0:64] / 64.0
+        v = np.exp(1j * 2 * np.pi * (y + 2 * x)).astype(np.complex64)
+        # complex values enter the device as split re/im (axon constraint)
+        vj = jax.lax.complex(jnp.asarray(v.real), jnp.asarray(v.imag))
+        down = resize_complex(vj, (32, 32))
+        up = resize_complex(down, (64, 64))
+        err = np.abs(np.asarray(up - vj)).max()
+        # bilinear transfer keeps oscillatory 16-points-per-cycle content
+        # to ~20% pointwise — plenty for a coarse-grid CORRECTION (the
+        # outer flexible iteration absorbs transfer error); measured 0.209
+        assert err < 0.25
+
+
+class TestTwoLevel:
+    def test_converges_with_true_residuals(self):
+        import jax.numpy as jnp
+
+        from helmnet_tpu.ops.spectral import helmholtz_residual
+
+        cfg, op, sos, src = _problem()
+        res = solve_fgmres_two_level(
+            op, src, sos, cfg=cfg, smoother="cslp",
+            restart=8, max_restarts=8, coarse_restart=24,
+            coarse_max_restarts=2, tol=1e-6,
+        )
+        norms = np.asarray(res.residual_norms)
+        assert norms[-1] < 1e-4, norms
+        k_sq = (cfg.source.omega / np.asarray(sos)) ** 2
+        r = helmholtz_residual(
+            op, res.wavefield[None], jnp.asarray(k_sq)[None],
+            src[None], "matmul",
+        )
+        true_rel = float(
+            np.linalg.norm(np.asarray(r).ravel())
+            / np.linalg.norm(np.asarray(src).ravel())
+        )
+        np.testing.assert_allclose(true_rel, norms[-1], rtol=1e-3, atol=1e-8)
+
+    def test_beats_cslp_at_equal_outer_iterations(self):
+        """Coarse-grid correction must compress Krylov work beyond what
+        the CSLP smoother alone achieves at the same outer budget."""
+        cfg, op, sos, src = _problem()
+        two = solve_fgmres_two_level(
+            op, src, sos, cfg=cfg, smoother="cslp",
+            restart=6, max_restarts=2, coarse_restart=24,
+            coarse_max_restarts=2, tol=0.0,
+        )
+        cslp = solve_helmholtz(
+            op, (cfg.source.omega / np.asarray(sos)) ** 2, src,
+            restart=6, max_restarts=2, tol=0.0, precond="shifted_laplace",
+        )
+        hist = np.asarray(cslp.residual_norms)
+        cslp_rel = float(hist[-1] / hist[0])
+        two_rel = float(np.asarray(two.residual_norms)[-1])
+        assert two_rel < cslp_rel / 2, (two_rel, cslp_rel)
+
+    def test_host_arnoldi_matches_device_cycle(self):
+        """The per-step host-driven Arnoldi (bounded single-dispatch
+        duration for deep preconditioners) is numerically the same
+        iteration as the whole-cycle device jit."""
+        cfg, op, sos, src = _problem(n=64, pml=8)
+        kw = dict(cfg=cfg, smoother="cslp", restart=6, max_restarts=3,
+                  coarse_restart=16, coarse_max_restarts=1, tol=0.0)
+        dev = solve_fgmres_two_level(op, src, sos, host_arnoldi=False, **kw)
+        host = solve_fgmres_two_level(op, src, sos, host_arnoldi=True, **kw)
+        a = np.asarray(dev.residual_norms)
+        b = np.asarray(host.residual_norms)
+        np.testing.assert_allclose(a, b, rtol=2e-2)
+
+    def test_matches_reference_gmres_solution(self):
+        cfg, op, sos, src = _problem()
+        res = solve_fgmres_two_level(
+            op, src, sos, cfg=cfg, smoother="cslp",
+            restart=8, max_restarts=10, tol=1e-6,
+        )
+        ref = solve_helmholtz(
+            op, (cfg.source.omega / np.asarray(sos)) ** 2, src,
+            restart=30, max_restarts=30, tol=1e-8,
+            precond="shifted_laplace",
+        )
+        a, b = np.asarray(res.wavefield), np.asarray(ref.x)
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, atol=2e-2 * scale)

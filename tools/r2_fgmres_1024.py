@@ -42,23 +42,29 @@ def main():
     src[60, n // 4: 3 * n // 4, 0] = 30.0
     solver.set_domain_size(n, source_map=src[None])
 
+    inner = int(os.environ.get("FG_INNER", "20"))
+    restart = int(os.environ.get("FG_RESTART", "8"))
+    max_restarts = int(os.environ.get("FG_MAX_RESTARTS", "12"))
+    key = os.environ.get("FG_KEY", "fgmres_1024")
     t0 = time.time()
     res = solve_fgmres_learned(
         solver.params, solver.op, jnp.asarray(src), jnp.asarray(sos),
-        cfg=solver.cfg, inner_iterations=20, restart=8, max_restarts=12,
-        tol=1e-4, verbose=True,
+        cfg=solver.cfg, inner_iterations=inner, restart=restart,
+        max_restarts=max_restarts, tol=1e-4, verbose=True,
     )
     out = {
         "rel_residual": float(np.asarray(res.residual_norms)[-1]),
         "trajectory": [float(x) for x in np.asarray(res.residual_norms)],
         "outer_iterations": int(res.iterations),
+        "inner_iterations": inner,
+        "restart": restart,
         "seconds": round(time.time() - t0, 1),
         "cslp_comparison": "0.136 -> 0.072 over 1350 iterations (stalls)",
     }
     print(json.dumps(out, indent=2), flush=True)
     path = os.path.join(ROOT, "R2_TPU_EXTRAS.json")
     d = json.load(open(path)) if os.path.exists(path) else {}
-    d["fgmres_1024"] = out
+    d[key] = out
     json.dump(d, open(path, "w"), indent=2)
     print("merged into R2_TPU_EXTRAS.json", flush=True)
 
