@@ -43,7 +43,8 @@ from .ops.stencil import (  # noqa: F401
     make_stencil_operator,
 )
 from .solvers.gmres import solve_helmholtz, solve_helmholtz_batch  # noqa: F401
-from .solvers.fgmres import solve_fgmres_learned  # noqa: F401
+from .solvers.fgmres import solve_fgmres, solve_fgmres_learned  # noqa: F401
+from .solvers.twolevel import solve_fgmres_two_level  # noqa: F401
 from .solvers.hybrid import solve_hybrid  # noqa: F401
 from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
 from .solvers.timedomain import solve_cw  # noqa: F401
@@ -82,7 +83,9 @@ __all__ = [
     "make_stencil_operator",
     "solve_helmholtz",
     "solve_helmholtz_batch",
+    "solve_fgmres",
     "solve_fgmres_learned",
+    "solve_fgmres_two_level",
     "solve_hybrid",
     "solve_cw",
     "IterativeSolver",

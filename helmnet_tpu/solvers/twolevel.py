@@ -52,6 +52,45 @@ def resize_complex(v: jax.Array, shape: Tuple[int, int]) -> jax.Array:
     return jax.lax.complex(re, im)
 
 
+def spectral_resize_complex(v: jax.Array, shape: Tuple[int, int]) -> jax.Array:
+    """Fourier resize of a complex [H, W] field: FFT truncation (down) or
+    zero-padding (up). EXACT for every mode the target grid resolves —
+    the right transfer for a spectral coarse grid near 2-3 points per
+    wavelength, where bilinear interpolation error is O(1) and destroys
+    the coarse correction. O(N^2 log N); periodic wraparound is damped by
+    the PML layers at the domain edge."""
+    hf, wf = v.shape
+    hc, wc = shape
+    F = jnp.fft.fft2(v)
+
+    def corner_take(F, h, w):
+        top = jnp.concatenate(
+            [F[: h - h // 2, : w - w // 2], F[: h - h // 2, wf - w // 2:]],
+            axis=1,
+        )
+        bot = jnp.concatenate(
+            [F[hf - h // 2:, : w - w // 2], F[hf - h // 2:, wf - w // 2:]],
+            axis=1,
+        )
+        return jnp.concatenate([top, bot], axis=0)
+
+    if hc <= hf and wc <= wf:
+        Fc = corner_take(F, hc, wc)
+    else:
+        zf = jnp.zeros((hc, wc), jnp.float32)
+        Fc = jax.lax.complex(zf, zf)
+        Fc = Fc.at[: hf - hf // 2, : wf - wf // 2].set(
+            F[: hf - hf // 2, : wf - wf // 2])
+        Fc = Fc.at[: hf - hf // 2, wc - wf // 2:].set(
+            F[: hf - hf // 2, wf - wf // 2:])
+        Fc = Fc.at[hc - hf // 2:, : wf - wf // 2].set(
+            F[hf - hf // 2:, : wf - wf // 2])
+        Fc = Fc.at[hc - hf // 2:, wc - wf // 2:].set(
+            F[hf - hf // 2:, wf - wf // 2:])
+    scale = (hc * wc) / (hf * wf)
+    return jnp.fft.ifft2(Fc * scale)
+
+
 def make_coarse_level(
     k_sq: jax.Array,
     *,
@@ -90,6 +129,7 @@ def make_two_level_preconditioner(
     smoother_iterations: int = 20,
     coarse_restart: int = 32,
     coarse_max_restarts: int = 2,
+    transfer: str = "spectral",
 ) -> Callable[[jax.Array], jax.Array]:
     """Two-grid preconditioner apply: complex [H, W] -> complex [H, W].
 
@@ -98,6 +138,7 @@ def make_two_level_preconditioner(
     see solvers/fgmres.make_learned_preconditioner). The coarse residual
     equation is solved by CSLP-GMRES(coarse_restart) x coarse_max_restarts
     on the factor-`factor` rediscretized spectral operator, all on device.
+    transfer='spectral' (default: exact for resolvable modes) or 'linear'.
     """
     hf, wf = k_sq.shape
     hc, wc = hf // factor, wf // factor
@@ -134,6 +175,9 @@ def make_two_level_preconditioner(
         )
         return minv_c(res.x)
 
+    resize = (spectral_resize_complex if transfer == "spectral"
+              else resize_complex)
+
     def apply(v: jax.Array) -> jax.Array:
         v2 = v.reshape(hf, wf)
         if smooth is None:
@@ -143,9 +187,9 @@ def make_two_level_preconditioner(
         else:
             z1 = smooth(v2)
             r = v2 - mv_f(z1)
-        rc = resize_complex(r, (hc, wc))
+        rc = resize(r, (hc, wc))
         ec = coarse_solve(float(factor * factor) * rc)
-        z = z1 + resize_complex(ec, (hf, wf))
+        z = z1 + resize(ec, (hf, wf))
         return z.reshape(v.shape)
 
     return apply
@@ -164,6 +208,7 @@ def solve_fgmres_two_level(
     smoother_iterations: int = 20,
     coarse_restart: int = 32,
     coarse_max_restarts: int = 2,
+    transfer: str = "spectral",
     restart: int = 10,
     max_restarts: int = 20,
     tol: float = 1e-5,
@@ -186,6 +231,7 @@ def solve_fgmres_two_level(
         smoother_iterations=smoother_iterations,
         coarse_restart=coarse_restart,
         coarse_max_restarts=coarse_max_restarts,
+        transfer=transfer,
     )
     return solve_fgmres(
         op, source, sos_map, cfg=cfg, precond_field=precond_field,

@@ -15,6 +15,7 @@ from helmnet_tpu.solvers.gmres import solve_helmholtz
 from helmnet_tpu.solvers.twolevel import (
     resize_complex,
     solve_fgmres_two_level,
+    spectral_resize_complex,
 )
 
 
@@ -50,6 +51,28 @@ class TestResize:
         # to ~20% pointwise — plenty for a coarse-grid CORRECTION (the
         # outer flexible iteration absorbs transfer error); measured 0.209
         assert err < 0.25
+
+    def test_spectral_resize_exact_for_resolvable_modes(self):
+        """Fourier transfer must reproduce EXACTLY any mode the coarse
+        grid resolves — the property that makes a 2-3 ppw spectral coarse
+        grid usable where bilinear transfer is O(1) wrong."""
+        import jax
+        import jax.numpy as jnp
+
+        y, x = np.mgrid[0:64, 0:64]
+        # near-Nyquist-on-the-coarse-grid mode: 12 cycles across 64 fine
+        # points = 2.7 coarse points per cycle at factor 2
+        v = np.exp(1j * 2 * np.pi * (5 * y + 12 * x) / 64).astype(
+            np.complex64
+        )
+        vj = jax.lax.complex(jnp.asarray(v.real), jnp.asarray(v.imag))
+        down = spectral_resize_complex(vj, (32, 32))
+        up = spectral_resize_complex(down, (64, 64))
+        err = np.abs(np.asarray(up - vj)).max()
+        assert err < 1e-5, err
+        # and restriction preserves amplitude (unitary-mean scaling)
+        amp = np.abs(np.asarray(down)).max()
+        np.testing.assert_allclose(amp, 1.0, rtol=1e-5)
 
 
 class TestTwoLevel:
