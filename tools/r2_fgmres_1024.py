@@ -45,19 +45,39 @@ def main():
     inner = int(os.environ.get("FG_INNER", "20"))
     restart = int(os.environ.get("FG_RESTART", "8"))
     max_restarts = int(os.environ.get("FG_MAX_RESTARTS", "12"))
+    host_arnoldi = os.environ.get("FG_HOST_ARNOLDI", "0") == "1"
+    mode = os.environ.get("FG_MODE", "learned")  # learned | twolevel
+    smoother = os.environ.get("FG_SMOOTHER", "cslp")
     key = os.environ.get("FG_KEY", "fgmres_1024")
     t0 = time.time()
-    res = solve_fgmres_learned(
-        solver.params, solver.op, jnp.asarray(src), jnp.asarray(sos),
-        cfg=solver.cfg, inner_iterations=inner, restart=restart,
-        max_restarts=max_restarts, tol=1e-4, verbose=True,
-    )
+    if mode == "twolevel":
+        from helmnet_tpu.solvers.twolevel import solve_fgmres_two_level
+
+        res = solve_fgmres_two_level(
+            solver.op, jnp.asarray(src), jnp.asarray(sos), cfg=solver.cfg,
+            smoother=smoother, params=solver.params,
+            smoother_iterations=inner,
+            coarse_restart=int(os.environ.get("FG_COARSE_RESTART", "32")),
+            coarse_max_restarts=int(
+                os.environ.get("FG_COARSE_MAX_RESTARTS", "2")),
+            restart=restart, max_restarts=max_restarts, tol=1e-4,
+            host_arnoldi=host_arnoldi, verbose=True,
+        )
+    else:
+        res = solve_fgmres_learned(
+            solver.params, solver.op, jnp.asarray(src), jnp.asarray(sos),
+            cfg=solver.cfg, inner_iterations=inner, restart=restart,
+            max_restarts=max_restarts, tol=1e-4,
+            host_arnoldi=host_arnoldi, verbose=True,
+        )
     out = {
         "rel_residual": float(np.asarray(res.residual_norms)[-1]),
         "trajectory": [float(x) for x in np.asarray(res.residual_norms)],
         "outer_iterations": int(res.iterations),
         "inner_iterations": inner,
         "restart": restart,
+        "mode": mode,
+        "host_arnoldi": host_arnoldi,
         "seconds": round(time.time() - t0, 1),
         "cslp_comparison": "0.136 -> 0.072 over 1350 iterations (stalls)",
     }
