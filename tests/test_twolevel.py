@@ -131,6 +131,39 @@ class TestTwoLevel:
         b = np.asarray(host.residual_norms)
         np.testing.assert_allclose(a, b, rtol=2e-2)
 
+    def test_learned_smoother_composition(self):
+        """The composition that solved the far-OOD 1024^2 problem
+        (PERF_NOTES.md): learned smoother + spectral coarse correction.
+        Uses the committed trained checkpoint at its native 96^2."""
+        import os
+
+        import pytest
+
+        from helmnet_tpu.solvers.iterative import IterativeSolver
+
+        ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                            "tpu_r2a")
+        if not os.path.isdir(ckpt):
+            pytest.skip("trained checkpoint not present")
+        solver = IterativeSolver.from_orbax_checkpoint(ckpt)
+        rng = np.random.default_rng(5)
+        n = 96
+        sos = np.ones((n, n), np.float32)
+        sos[30:66, 24:78] = 1.0 + rng.random((36, 54)).astype(np.float32)
+        src = np.zeros((n, n, 2), np.float32)
+        src[60, n // 4: 3 * n // 4, 0] = 30.0  # extended line source
+        import jax.numpy as jnp
+
+        res = solve_fgmres_two_level(
+            solver.op, jnp.asarray(src), jnp.asarray(sos), cfg=solver.cfg,
+            smoother="learned", params=solver.params,
+            smoother_iterations=10, restart=6, max_restarts=4,
+            coarse_restart=16, coarse_max_restarts=1, tol=1e-5,
+        )
+        norms = np.asarray(res.residual_norms)
+        assert norms[-1] < 5e-3, norms
+        assert norms[-1] < norms[0] / 100
+
     def test_matches_reference_gmres_solution(self):
         cfg, op, sos, src = _problem()
         res = solve_fgmres_two_level(
