@@ -96,6 +96,12 @@ def main():
             raise SystemExit(f"--init-from {args.init_from}: no checkpoint")
         if args.lr:  # explicit lr overrides the restored scheduler state
             trainer.scheduler.lr = args.lr
+        # a warm start is a NEW run (often on a shifted source/data
+        # distribution): the restored plateau best would mark every epoch
+        # of the adaptation transient as "bad" and halve the lr to the
+        # floor within tens of epochs — reset the plateau state
+        trainer.scheduler.best = float("inf")
+        trainer.scheduler.bad_epochs = 0
         print(f"warm start from {args.init_from} best (epoch {trainer.epoch}) "
               f"lr {trainer.scheduler.lr:.2e}", flush=True)
     trainer.fill_buffer(train_maps)
