@@ -37,12 +37,23 @@ from .ops.spectral import (  # noqa: F401
     laplacian,
     make_operator,
 )
+from .ops.spectral3d import (  # noqa: F401
+    SpectralPML3D,
+    helmholtz_residual3d,
+    laplacian3d,
+    make_operator3d,
+    point_source_map3d,
+)
 from .ops.stencil import (  # noqa: F401
     StencilPML,
     helmholtz_residual_stencil,
     make_stencil_operator,
 )
 from .solvers.gmres import solve_helmholtz, solve_helmholtz_batch  # noqa: F401
+from .solvers.helm3d import (  # noqa: F401
+    solve_helmholtz3d,
+    solve_helmholtz3d_batch,
+)
 from .solvers.fgmres import solve_fgmres, solve_fgmres_learned  # noqa: F401
 from .solvers.twolevel import solve_fgmres_two_level  # noqa: F401
 from .solvers.hybrid import solve_hybrid  # noqa: F401
@@ -75,14 +86,21 @@ __all__ = [
     "point_source_map",
     "source_batch_from_locations",
     "SpectralPML",
+    "SpectralPML3D",
     "StencilPML",
     "laplacian",
+    "laplacian3d",
     "helmholtz_residual",
+    "helmholtz_residual3d",
     "helmholtz_residual_stencil",
     "make_operator",
+    "make_operator3d",
     "make_stencil_operator",
+    "point_source_map3d",
     "solve_helmholtz",
     "solve_helmholtz_batch",
+    "solve_helmholtz3d",
+    "solve_helmholtz3d_batch",
     "solve_fgmres",
     "solve_fgmres_learned",
     "solve_fgmres_two_level",

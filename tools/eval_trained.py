@@ -28,13 +28,17 @@ def main():
     ap.add_argument("--header", type=str, default=None,
                     help="markdown intro paragraph (defaults to the round-1 "
                          "run description)")
+    ap.add_argument("--extended", action="store_true",
+                    help="also score 32 random line-segment sources (the "
+                         "extended-source regime the far-OOD problems live "
+                         "in; matches Trainer.random_line_endpoints)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
     from helmnet_tpu.core.config import Config
     from helmnet_tpu.models import hybridnet
-    from helmnet_tpu.ops.source import point_source_map
+    from helmnet_tpu.ops.source import line_source_map, point_source_map
     from helmnet_tpu.ops.spectral import make_operator
     from helmnet_tpu.solvers.iterative import rollout
     from helmnet_tpu.train.checkpoint import restore_checkpoint
@@ -71,6 +75,27 @@ def main():
         )
     )
 
+    ext_sources = None
+    if args.extended:
+        # seeded random interior segments (Trainer.random_line_endpoints):
+        # center outside the PML, orientation U[0,pi), length U[n/8, n/2]
+        erng = np.random.default_rng(4321)
+        margin = cfg.geometry.pml_size + 4
+        segs = []
+        for _ in range(len(val_maps)):
+            length = erng.uniform(n / 8, n / 2)
+            theta = erng.uniform(0, np.pi)
+            dr = 0.5 * length * np.sin(theta)
+            dc = 0.5 * length * np.cos(theta)
+            cr = erng.uniform(margin + abs(dr), n - margin - abs(dr))
+            cc = erng.uniform(margin + abs(dc), n - margin - abs(dc))
+            p0 = (int(round(cr - dr)), int(round(cc - dc)))
+            p1 = (int(round(cr + dr)), int(round(cc + dc)))
+            segs.append(
+                line_source_map(n, n, p0, p1, s.amplitude, s.phase, s.omega)
+            )
+        ext_sources = jnp.asarray(np.stack(segs))
+
     steps = sorted(
         int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("step_")
     )[-args.limit_ckpts :]
@@ -104,6 +129,14 @@ def main():
             "rand_p90": float(np.quantile(rmse_rand, 0.9)),
             "rand_diverged": int(np.sum(~np.isfinite(rmse_rand) | (rmse_rand > 1))),
         }
+        if ext_sources is not None:
+            out_e = rollout(params, op, ext_sources, maps_dev, cfg=cfg,
+                            num_iterations=args.iterations)
+            rmse_ext = np.asarray(out_e["rmse"])[-1]
+            row["ext_median"] = float(np.median(rmse_ext))
+            row["ext_p90"] = float(np.quantile(rmse_ext, 0.9))
+            row["ext_diverged"] = int(
+                np.sum(~np.isfinite(rmse_ext) | (rmse_ext > 1)))
         results.append(row)
         print(row, flush=True)
 
@@ -124,14 +157,28 @@ def main():
         f.write("Validation: 32 held-out maps, final residual RMSE after "
                 f"{args.iterations} iterations; 'fixed' = training source "
                 "location, 'random' = circle sources (generalization).\n\n")
-        f.write("| epoch | fixed median | fixed p90 | random median | random p90 | diverged |\n")
-        f.write("|---|---|---|---|---|---|\n")
-        for r in results:
-            f.write(
-                f"| {r['epoch']} | {r['fixed_median']:.2e} | {r['fixed_p90']:.2e} "
-                f"| {r['rand_median']:.2e} | {r['rand_p90']:.2e} "
-                f"| {r['rand_diverged']}/32 |\n"
-            )
+        if ext_sources is not None:
+            f.write("| epoch | fixed median | fixed p90 | random median "
+                    "| random p90 | diverged | ext median | ext p90 "
+                    "| ext diverged |\n")
+            f.write("|---|---|---|---|---|---|---|---|---|\n")
+            for r in results:
+                f.write(
+                    f"| {r['epoch']} | {r['fixed_median']:.2e} "
+                    f"| {r['fixed_p90']:.2e} | {r['rand_median']:.2e} "
+                    f"| {r['rand_p90']:.2e} | {r['rand_diverged']}/32 "
+                    f"| {r['ext_median']:.2e} | {r['ext_p90']:.2e} "
+                    f"| {r['ext_diverged']}/32 |\n"
+                )
+        else:
+            f.write("| epoch | fixed median | fixed p90 | random median | random p90 | diverged |\n")
+            f.write("|---|---|---|---|---|---|\n")
+            for r in results:
+                f.write(
+                    f"| {r['epoch']} | {r['fixed_median']:.2e} | {r['fixed_p90']:.2e} "
+                    f"| {r['rand_median']:.2e} | {r['rand_p90']:.2e} "
+                    f"| {r['rand_diverged']}/32 |\n"
+                )
         f.write(
             f"\nBest checkpoint (random-source median): epoch {best['epoch']} "
             f"-> {best['rand_median']:.2e}. Checkpoint selection mirrors the "
