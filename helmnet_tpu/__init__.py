@@ -25,7 +25,7 @@ from .core.config import (  # noqa: F401
 )
 from .core.meshes import make_mesh  # noqa: F401
 from .data.ellipses import make_dataset as make_ellipses_dataset  # noqa: F401
-from .models import hybridnet, resnet  # noqa: F401
+from .models import hybridnet, hybridnet3d, resnet  # noqa: F401
 from .models.activations import get_activation  # noqa: F401
 from .models.blocks import conv2d, conv_transpose2d, double_conv  # noqa: F401
 from .models.convgru import convgru, init_convgru  # noqa: F401
@@ -58,6 +58,7 @@ from .solvers.fgmres import solve_fgmres, solve_fgmres_learned  # noqa: F401
 from .solvers.twolevel import solve_fgmres_two_level  # noqa: F401
 from .solvers.hybrid import solve_hybrid  # noqa: F401
 from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
+from .solvers.iterative3d import IterativeSolver3D, rollout3d  # noqa: F401
 from .solvers.timedomain import solve_cw  # noqa: F401
 from .train.checkpoint import load_reference_checkpoint  # noqa: F401
 from .train.loop import Trainer  # noqa: F401
@@ -75,6 +76,7 @@ __all__ = [
     "make_mesh",
     "make_ellipses_dataset",
     "hybridnet",
+    "hybridnet3d",
     "resnet",
     "get_activation",
     "get_architecture",
@@ -107,7 +109,9 @@ __all__ = [
     "solve_hybrid",
     "solve_cw",
     "IterativeSolver",
+    "IterativeSolver3D",
     "rollout",
+    "rollout3d",
     "Trainer",
     "ReplayBuffer",
     "ExperienceBatch",
