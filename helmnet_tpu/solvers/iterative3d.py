@@ -77,6 +77,33 @@ def residual_rmse3d(residual: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.mean(residual**2, axis=(1, 2, 3, 4)))
 
 
+def n_steps3d(
+    params,
+    op: SpectralPML3D,
+    source: jax.Array,
+    k_sq: jax.Array,
+    carry: SolverCarry3D,
+    *,
+    cfg: Config,
+    num_steps: int,
+):
+    """Differentiable unrolled steps from an arbitrary solver state — the
+    volume counterpart of solvers/iterative.n_steps (reference n_steps,
+    hybridnet.py:586-623). Returns (final_carry, ys) with ys stacking
+    per-step wavefields/residuals/flat states [T, B, ...]."""
+
+    def body(c, _):
+        c = single_step3d(params, op, source, k_sq, c, cfg=cfg)
+        ys = {
+            "wavefields": c.wavefield,
+            "residuals": c.residual,
+            "states": hybridnet3d.flatten_states(c.states),
+        }
+        return c, ys
+
+    return jax.lax.scan(body, carry, None, length=num_steps)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "num_iterations", "collect"))
 def rollout3d(
     params,
