@@ -56,6 +56,10 @@ from .solvers.helm3d import (  # noqa: F401
 )
 from .solvers.fgmres import solve_fgmres, solve_fgmres_learned  # noqa: F401
 from .solvers.twolevel import solve_fgmres_two_level  # noqa: F401
+from .solvers.deflation import (  # noqa: F401
+    gmres_deflated,
+    solve_helmholtz_deflated,
+)
 from .solvers.hybrid import solve_hybrid  # noqa: F401
 from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
 from .solvers.iterative3d import IterativeSolver3D, rollout3d  # noqa: F401
@@ -106,6 +110,8 @@ __all__ = [
     "solve_fgmres",
     "solve_fgmres_learned",
     "solve_fgmres_two_level",
+    "gmres_deflated",
+    "solve_helmholtz_deflated",
     "solve_hybrid",
     "solve_cw",
     "IterativeSolver",
