@@ -32,6 +32,13 @@ def main():
                     help="also score 32 random line-segment sources (the "
                          "extended-source regime the far-OOD problems live "
                          "in; matches Trainer.random_line_endpoints)")
+    ap.add_argument("--data-tag", type=str, default=None,
+                    help="tag whose val maps to score on (default: --tag); "
+                         "lets different runs be compared on IDENTICAL "
+                         "held-out problems")
+    ap.add_argument("--steps", type=int, nargs="*", default=None,
+                    help="explicit checkpoint steps to evaluate (default: "
+                         "last --limit-ckpts saved steps)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -46,7 +53,8 @@ def main():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     ckpt_dir = os.path.join(root, "checkpoints", args.tag)
-    data = np.load(os.path.join(root, "datasets", args.tag, "maps.npz"))
+    data_tag = args.data_tag or args.tag
+    data = np.load(os.path.join(root, "datasets", data_tag, "maps.npz"))
     val_maps = data["val"][:32]
 
     cfg = Config()
@@ -99,6 +107,8 @@ def main():
     steps = sorted(
         int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("step_")
     )[-args.limit_ckpts :]
+    if args.steps:
+        steps = sorted(args.steps)
     print("checkpoints:", steps, flush=True)
 
     import jax
