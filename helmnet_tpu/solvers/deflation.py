@@ -26,8 +26,15 @@ TPU mapping: each cycle is one fixed-shape jitted dispatch (bounded
 duration — required on the tunneled worker, CLAUDE.md); the only host
 work is the small (m x m) harmonic-Ritz eigenproblem, which cannot run
 on TPU anyway (nonsymmetric eig is CPU-only in XLA) and costs O(m^3)
-microseconds. Host<->device traffic per cycle is the small H/B blocks
-plus scalars — never the n-vectors.
+microseconds.
+
+Host<->device traffic is TPU-safe by construction: complex64 transfer is
+UNIMPLEMENTED on the axon runtime (CLAUDE.md), so every fetched block
+(H, B, inner products) leaves the device as stacked f32 [2, ...] re/im
+pairs and every pushed coefficient matrix (y, harmonic-Ritz coordinate
+transforms, QR factors) enters as separate f32 re/im arrays combined on
+device with lax.complex — the same discipline as fgmres.py. The n-sized
+vectors never cross the link.
 
 Composable with CSLP: deflate the RIGHT-preconditioned operator
 A M^{-1} (pass the composed matvec), which clusters the spectrum first
@@ -52,72 +59,179 @@ class DeflatedResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# device kernels (fixed shapes, one dispatch per cycle)
+# device kernel factory (one compile set per (matvec, shape, restart, k))
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("mv", "m"))
-def _arnoldi_block(mv, r0: jax.Array, m: int):
-    """Plain Arnoldi: returns V [(m+1), n], H [(m+1), m], beta."""
-    n = r0.shape[0]
-    dtype = r0.dtype
-    beta = jnp.linalg.norm(r0)
-    safe = jnp.where(beta > 0, beta, 1.0)
-    V0 = jnp.zeros((m + 1, n), dtype).at[0].set(r0 / safe)
-    H0 = jnp.zeros((m + 1, m), dtype)
-
-    def body(j, carry):
-        V, H = carry
-        w = mv(V[j])
-
-        def mgs(i, cw):
-            w, hcol = cw
-            h = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
-            return w - h * V[i], hcol.at[i].set(h)
-
-        w, hcol = jax.lax.fori_loop(0, m, mgs, (w, jnp.zeros(m + 1, dtype)))
-        hn = jnp.linalg.norm(w)
-        hcol = hcol.at[j + 1].set(hn.astype(dtype))
-        V = V.at[j + 1].set(w / jnp.where(hn > 0, hn, 1.0))
-        return V, H.at[:, j].set(hcol)
-
-    V, H = jax.lax.fori_loop(0, m, body, (V0, H0))
-    return V, H, beta
+def _as_pair(z: jax.Array) -> jax.Array:
+    """complex -> stacked f32 [2, ...] re/im (the only fetch-safe form)."""
+    return jnp.stack([z.real, z.imag]).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("mv", "mk"))
-def _deflated_arnoldi_block(mv, C: jax.Array, r0: jax.Array, mk: int):
-    """Arnoldi on (I - C C^H) A: returns V [(mk+1), n], H, B = C^H A V, beta.
+def _host_complex(pair) -> np.ndarray:
+    p = np.asarray(pair, np.float64)
+    return p[0] + 1j * p[1]
 
-    r0 must already be C-orthogonal (the caller projects)."""
-    n = r0.shape[0]
-    dtype = r0.dtype
-    k = C.shape[0]
-    beta = jnp.linalg.norm(r0)
-    safe = jnp.where(beta > 0, beta, 1.0)
-    V0 = jnp.zeros((mk + 1, n), dtype).at[0].set(r0 / safe)
-    H0 = jnp.zeros((mk + 1, mk), dtype)
-    B0 = jnp.zeros((k, mk), dtype)
 
-    def body(j, carry):
-        V, H, B = carry
-        w = mv(V[j])
-        bcol = jnp.conj(C) @ w  # C^H (A v_j): [k]
-        w = w - C.T @ bcol      # project out the recycle image space
+@functools.lru_cache(maxsize=32)
+def make_deflated_kernels(matvec, shape: tuple, restart: int, k: int):
+    """Build the jitted per-cycle kernels for GCRO-DR once per
+    (matvec, field shape, restart, k). lru_cache keys on the matvec
+    function object, so repeated solves with the same operator reuse
+    compiled executables instead of paying a 20-300 s remote compile
+    per call (the earlier static-argnum lambda design guaranteed a
+    cache miss every invocation)."""
+    mk = restart - k
+    mv = lambda v: matvec(v.reshape(shape)).reshape(-1)
 
-        def mgs(i, cw):
-            w, hcol = cw
-            h = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
-            return w - h * V[i], hcol.at[i].set(h)
+    @jax.jit
+    def arnoldi(r0):
+        """Plain Arnoldi(restart): V [(m+1), n] device-resident,
+        H as f32 pair [2, m+1, m], beta as f32 scalar."""
+        m = restart
+        n = r0.shape[0]
+        dtype = r0.dtype
+        beta = jnp.linalg.norm(r0)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        V0 = jnp.zeros((m + 1, n), dtype).at[0].set(r0 / safe)
+        H0 = jnp.zeros((m + 1, m), dtype)
 
-        w, hcol = jax.lax.fori_loop(0, mk, mgs, (w, jnp.zeros(mk + 1, dtype)))
-        hn = jnp.linalg.norm(w)
-        hcol = hcol.at[j + 1].set(hn.astype(dtype))
-        V = V.at[j + 1].set(w / jnp.where(hn > 0, hn, 1.0))
-        return V, H.at[:, j].set(hcol), B.at[:, j].set(bcol)
+        def body(j, carry):
+            V, H = carry
+            w = mv(V[j])
 
-    V, H, B = jax.lax.fori_loop(0, mk, body, (V0, H0, B0))
-    return V, H, B, beta
+            def mgs(i, cw):
+                w, hcol = cw
+                h = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                return w - h * V[i], hcol.at[i].set(h)
+
+            w, hcol = jax.lax.fori_loop(0, m, mgs, (w, jnp.zeros(m + 1, dtype)))
+            hn = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(hn.astype(dtype))
+            V = V.at[j + 1].set(w / jnp.where(hn > 0, hn, 1.0))
+            return V, H.at[:, j].set(hcol)
+
+        V, H = jax.lax.fori_loop(0, m, body, (V0, H0))
+        return V, _as_pair(H), beta.real.astype(jnp.float32)
+
+    @jax.jit
+    def defl_arnoldi(C, r0):
+        """Arnoldi on (I - C C^H) A for mk steps. r0 must already be
+        C-orthogonal. Returns device V plus f32-pair H [2, mk+1, mk],
+        B = C^H A V [2, k, mk], beta."""
+        n = r0.shape[0]
+        dtype = r0.dtype
+        beta = jnp.linalg.norm(r0)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        V0 = jnp.zeros((mk + 1, n), dtype).at[0].set(r0 / safe)
+        H0 = jnp.zeros((mk + 1, mk), dtype)
+        B0 = jnp.zeros((k, mk), dtype)
+
+        def body(j, carry):
+            V, H, B = carry
+            w = mv(V[j])
+            bcol = jnp.conj(C) @ w  # C^H (A v_j): [k]
+            w = w - C.T @ bcol      # project out the recycle image space
+
+            def mgs(i, cw):
+                w, hcol = cw
+                h = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                return w - h * V[i], hcol.at[i].set(h)
+
+            w, hcol = jax.lax.fori_loop(
+                0, mk, mgs, (w, jnp.zeros(mk + 1, dtype))
+            )
+            hn = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(hn.astype(dtype))
+            V = V.at[j + 1].set(w / jnp.where(hn > 0, hn, 1.0))
+            return V, H.at[:, j].set(hcol), B.at[:, j].set(bcol)
+
+        V, H, B = jax.lax.fori_loop(0, mk, body, (V0, H0, B0))
+        return V, _as_pair(H), _as_pair(B), beta.real.astype(jnp.float32)
+
+    @jax.jit
+    def axpy_basis(x, V, re, im):
+        """x + V.T @ complex(re, im) — coefficient pushed as f32 halves,
+        combined on device. Coefficients are padded to V's row count on
+        host so one kernel serves every update."""
+        coef = jax.lax.complex(re, im).astype(V.dtype)
+        return x + V.T @ coef
+
+    @jax.jit
+    def harvest(V, u_re, u_im, q_re, q_im):
+        """First-cycle recycle-space build: U = V.T @ (P R^{-1}) (padded
+        to m+1 rows), C = (V.T @ Q).T. Coordinate matrices arrive as
+        f32 halves."""
+        Pc = jax.lax.complex(u_re, u_im).astype(V.dtype)
+        Qc = jax.lax.complex(q_re, q_im).astype(V.dtype)
+        return V.T @ Pc, (V.T @ Qc).T
+
+    @jax.jit
+    def project(C, U, x, r):
+        """Recycle-space exact solve: x += U C^H r, r -= C C^H r."""
+        z = jnp.conj(C) @ r
+        return x + U @ z, r - C.T @ z
+
+    @jax.jit
+    def gcro_update(x, V, U, y_re, y_im, z_re, z_im):
+        """x += V.T @ y_pad + U @ z (y padded to mk+1 on host,
+        z = -B y computed on host)."""
+        y = jax.lax.complex(y_re, y_im).astype(V.dtype)
+        z = jax.lax.complex(z_re, z_im).astype(U.dtype)
+        return x + V.T @ y + U @ z
+
+    @jax.jit
+    def inner_products(C, V, U):
+        """Chat^H U blocks needed for the combined harmonic-Ritz
+        eigenproblem, fetched as f32 pairs."""
+        CU = jnp.conj(C) @ U   # [k, k]
+        VU = jnp.conj(V) @ U   # [mk+1, k]
+        return _as_pair(CU), _as_pair(VU)
+
+    @jax.jit
+    def refresh_update(U, V, C, a_re, a_im, b_re, b_im,
+                       q1_re, q1_im, q2_re, q2_im):
+        """Thick-restart space rotation. On host:
+        A = P[:k] R^{-1} [k,k], Bc = pad(P[k:] R^{-1}) [mk+1,k],
+        Q split as Q1 = Q[:k] [k,k], Q2 = Q[k:] [mk+1,k].
+        U_new = U A + V.T Bc;  C_new = (C.T Q1 + V.T Q2).T."""
+        dt = U.dtype
+        A = jax.lax.complex(a_re, a_im).astype(dt)
+        Bc = jax.lax.complex(b_re, b_im).astype(dt)
+        Q1 = jax.lax.complex(q1_re, q1_im).astype(dt)
+        Q2 = jax.lax.complex(q2_re, q2_im).astype(dt)
+        U_new = U @ A + V.T @ Bc
+        C_new = (C.T @ Q1 + V.T @ Q2).T
+        return U_new, C_new
+
+    @jax.jit
+    def residual(bv, x):
+        """True residual r = b - A x (device) + its norm as f32."""
+        r = bv - mv(x)
+        return r, jnp.linalg.norm(r).real.astype(jnp.float32)
+
+    @jax.jit
+    def zero_like_f32(bv):
+        """Complex zero built from f32 halves on device (eager
+        jnp.zeros_like on complex poisons the axon transfer path)."""
+        z = jnp.zeros(bv.shape, jnp.float32)
+        return jax.lax.complex(z, z).astype(bv.dtype)
+
+    @jax.jit
+    def fetch_pair(Z):
+        return _as_pair(Z)
+
+    return dict(
+        arnoldi=arnoldi, defl_arnoldi=defl_arnoldi, axpy_basis=axpy_basis,
+        harvest=harvest, project=project, gcro_update=gcro_update,
+        inner_products=inner_products, refresh_update=refresh_update,
+        residual=residual, zero=zero_like_f32, fetch_pair=fetch_pair,
+    )
+
+
+def _f32_halves(M: np.ndarray):
+    return (jnp.asarray(np.ascontiguousarray(M.real), jnp.float32),
+            jnp.asarray(np.ascontiguousarray(M.imag), jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +278,7 @@ def _combined_harmonic_ritz(G: np.ndarray, ChatW: np.ndarray, k: int):
 
 
 # ---------------------------------------------------------------------------
-# driver (host loop, one device dispatch per cycle)
+# driver (host loop, bounded device dispatches per cycle)
 # ---------------------------------------------------------------------------
 
 
@@ -185,22 +299,24 @@ def gmres_deflated(
     restart-k new Krylov directions), so cost per cycle matches
     GMRES(restart).
 
-    Host-driven: safe for long solves on the tunneled TPU worker (one
-    bounded dispatch per cycle) and required anyway because harmonic-Ritz
-    extraction needs a nonsymmetric eig (CPU-only). refresh=True updates
-    the recycle space from the combined [U, V] subspace every cycle
-    (thick restart); refresh=False freezes it after cycle 1.
+    Host-driven: safe for long solves on the tunneled TPU worker
+    (bounded dispatches per cycle) and required anyway because
+    harmonic-Ritz extraction needs a nonsymmetric eig (CPU-only).
+    refresh=True updates the recycle space from the combined [U, V]
+    subspace every cycle (thick restart); refresh=False freezes it
+    after cycle 1.
     """
     if not (0 < k < restart):
         raise ValueError("need 0 < k < restart")
-    flat = b.reshape(-1)
-    x = jnp.zeros_like(flat) if x0 is None else x0.reshape(-1)
-    mv = lambda v: matvec(v.reshape(b.shape)).reshape(-1)
     mk = restart - k
+    kern = make_deflated_kernels(matvec, tuple(b.shape), restart, k)
 
-    bnorm = float(jnp.linalg.norm(flat))
-    r = flat - mv(x)
-    norms = [float(jnp.linalg.norm(r))]
+    flat = b.reshape(-1)
+    x = kern["zero"](flat) if x0 is None else x0.reshape(-1)
+
+    bnorm = float(np.asarray(jnp.linalg.norm(flat).real))
+    r, rn = kern["residual"](flat, x)
+    norms = [float(np.asarray(rn))]
     iters = 0
     U = C = None
     theta = np.zeros(0, np.complex128)
@@ -210,66 +326,81 @@ def gmres_deflated(
             break
         if U is None:
             # --- first cycle: plain GMRES(restart) + harvest U, C ---------
-            V, H, beta = _arnoldi_block(mv, r, restart)
+            V, Hp, beta = kern["arnoldi"](r)
             iters += restart
-            Hh = np.asarray(H, np.complex128)
+            Hh = _host_complex(Hp)
             e1 = np.zeros(restart + 1, np.complex128)
-            e1[0] = float(beta)
+            e1[0] = float(np.asarray(beta))
             y, *_ = np.linalg.lstsq(Hh, e1, rcond=None)
-            cdtype = np.dtype(V.dtype)
-            x = x + V[:restart].T @ jnp.asarray(y.astype(cdtype))
+            ypad = np.zeros((restart + 1, 1), np.complex128)
+            ypad[:restart, 0] = y
+            x = kern["axpy_basis"](x, V, *_f32_halves(ypad[:, 0]))
             P, theta = _harmonic_ritz(Hh, k)
-            # C = V Q, U = (V[:m]^T P) R^{-1}  with  Hbar P = Q R
+            # C = V Q, U = (V[:m]^T P) R^{-1}  with  Hbar P = Q R;
+            # fold R^{-1} into the coordinate matrix on host so the
+            # device sees one [m+1, k] push.
             Q, R = np.linalg.qr(Hh @ P)
-            U = V[:restart].T @ jnp.asarray(P.astype(cdtype))
-            C = (V.T @ jnp.asarray(Q.astype(cdtype))).T          # [k, n]
-            U = U @ jnp.asarray(np.linalg.inv(R).astype(cdtype))  # [n, k]
+            PRinv = np.zeros((restart + 1, k), np.complex128)
+            PRinv[:restart] = P @ np.linalg.inv(R)
+            U, C = kern["harvest"](
+                V, *_f32_halves(PRinv), *_f32_halves(Q)
+            )
         else:
             # --- GCRO cycle: recycle-space solve + projected Arnoldi ------
-            z = jnp.conj(C) @ r                  # C^H r
-            x = x + U @ z
-            r = r - C.T @ z
-            V, H, B, beta = _deflated_arnoldi_block(mv, C, r, mk)
+            x, r = kern["project"](C, U, x, r)
+            V, Hp, Bp, beta = kern["defl_arnoldi"](C, r)
             iters += mk
-            Hh = np.asarray(H, np.complex128)
-            Bh = np.asarray(B, np.complex128)
+            Hh = _host_complex(Hp)
+            Bh = _host_complex(Bp)
             e1 = np.zeros(mk + 1, np.complex128)
-            e1[0] = float(beta)
+            e1[0] = float(np.asarray(beta))
             y, *_ = np.linalg.lstsq(Hh, e1, rcond=None)
-            cdtype = np.dtype(V.dtype)
-            yj = jnp.asarray(y.astype(cdtype))
-            x = x + V[:mk].T @ yj + U @ jnp.asarray((-Bh @ y).astype(cdtype))
+            ypad = np.zeros(mk + 1, np.complex128)
+            ypad[:mk] = y
+            x = kern["gcro_update"](
+                x, V, U, *_f32_halves(ypad), *_f32_halves(-Bh @ y)
+            )
             if refresh:
                 # A [U V] = [C V+] G,  G = [[I, B], [0, H]]
                 G = np.block([
                     [np.eye(k, dtype=np.complex128), Bh],
                     [np.zeros((mk + 1, k), np.complex128), Hh],
                 ])
-                # Chat^H W blocks (small device inner products)
-                CU = np.asarray(jnp.conj(C) @ U, np.complex128)   # [k, k]
-                VU = np.asarray(jnp.conj(V) @ U, np.complex128)  # [mk+1, k]
+                # Chat^H W blocks (small device inner products, f32 pairs)
+                CUp, VUp = kern["inner_products"](C, V, U)
+                CU = _host_complex(CUp)
+                VU = _host_complex(VUp)
                 ChatW = np.block([
                     [CU, np.zeros((k, mk), np.complex128)],
                     [VU, np.vstack([np.eye(mk), np.zeros((1, mk))])],
                 ])
                 P, th = _combined_harmonic_ritz(G, ChatW, k)
                 if P is not None and np.all(np.isfinite(P)):
-                    theta = th
                     GP = G @ P
                     Q, R = np.linalg.qr(GP)
                     if np.linalg.cond(R) < 1e12:
-                        Wp = U @ jnp.asarray(P[:k].astype(cdtype)) \
-                            + V[:mk].T @ jnp.asarray(P[k:].astype(cdtype))
-                        Chat_Q = (
-                            C.T @ jnp.asarray(Q[:k].astype(cdtype))
-                            + V.T @ jnp.asarray(Q[k:].astype(cdtype))
+                        # theta only updates when the refresh is
+                        # INSTALLED — otherwise ritz_values would
+                        # describe a space never put in use.
+                        theta = th
+                        PRinv = P @ np.linalg.inv(R)
+                        Bpad = np.zeros((mk + 1, k), np.complex128)
+                        Bpad[:mk] = PRinv[k:]
+                        U, C = kern["refresh_update"](
+                            U, V, C,
+                            *_f32_halves(PRinv[:k]),
+                            *_f32_halves(Bpad),
+                            *_f32_halves(Q[:k]),
+                            *_f32_halves(Q[k:]),
                         )
-                        C = Chat_Q.T
-                        U = Wp @ jnp.asarray(np.linalg.inv(R).astype(cdtype))
-        r = flat - mv(x)
-        norms.append(float(jnp.linalg.norm(r)))
+        r, rn = kern["residual"](flat, x)
+        norms.append(float(np.asarray(rn)))
         if debug_trace is not None:
-            debug_trace.append((np.asarray(U), np.asarray(C), theta))
+            debug_trace.append((
+                _host_complex(kern["fetch_pair"](U)),
+                _host_complex(kern["fetch_pair"](C)),
+                theta,
+            ))
 
     return DeflatedResult(
         x=x.reshape(b.shape),

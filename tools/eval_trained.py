@@ -104,11 +104,18 @@ def main():
             )
         ext_sources = jnp.asarray(np.stack(segs))
 
-    steps = sorted(
+    available = sorted(
         int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("step_")
-    )[-args.limit_ckpts :]
+    )
+    steps = available[-args.limit_ckpts :]
     if args.steps:
         steps = sorted(args.steps)
+        missing = [s for s in steps if s not in available]
+        if missing:
+            raise SystemExit(
+                f"--steps {missing} not found under {ckpt_dir}; "
+                f"available steps: {available}"
+            )
     print("checkpoints:", steps, flush=True)
 
     import jax
