@@ -49,7 +49,12 @@ from .ops.stencil import (  # noqa: F401
     helmholtz_residual_stencil,
     make_stencil_operator,
 )
-from .solvers.gmres import solve_helmholtz, solve_helmholtz_batch  # noqa: F401
+from .solvers.gmres import (  # noqa: F401
+    solve_helmholtz,
+    solve_helmholtz_batch,
+    solve_helmholtz_checked,
+)
+from .core.sanitize import checked, check_finite, debug_nans  # noqa: F401
 from .solvers.helm3d import (  # noqa: F401
     solve_helmholtz3d,
     solve_helmholtz3d_batch,
@@ -104,6 +109,10 @@ __all__ = [
     "make_stencil_operator",
     "point_source_map3d",
     "solve_helmholtz",
+    "solve_helmholtz_checked",
+    "checked",
+    "check_finite",
+    "debug_nans",
     "solve_helmholtz_batch",
     "solve_helmholtz3d",
     "solve_helmholtz3d_batch",

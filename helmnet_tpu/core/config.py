@@ -175,7 +175,10 @@ class Config:
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     # Operator backend: 'matmul' (DFT-derivative dense matmuls on the MXU) or
     # 'fft' (1D FFT based). 'matmul' is the TPU-native default.
-    operator_mode: str = "matmul"
+    # 'auto' picks matmul below 1024^2 and fft at/above it, per the on-chip
+    # crossover measurement (ops/spectral.resolve_mode); 2D only — 3D
+    # resolves auto to matmul (ops/spectral3d.laplacian3d).
+    operator_mode: str = "auto"
 
     @property
     def k0(self) -> float:

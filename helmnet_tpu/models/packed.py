@@ -264,7 +264,12 @@ def rollout_packed(
     b = sos_maps.shape[0]
     if b % g:
         raise ValueError(f"batch {b} must be divisible by pack group {g}")
-    if cfg.operator_mode != "matmul":
+    from ..ops.spectral import resolve_mode
+
+    mode = resolve_mode(
+        cfg.operator_mode, sos_maps.shape[-2], sos_maps.shape[-1]
+    )
+    if mode != "matmul":
         raise ValueError("rollout_packed supports the matmul operator only")
     mcfg = cfg.model
     packed = pack_params(params, g)

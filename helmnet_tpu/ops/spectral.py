@@ -188,7 +188,23 @@ def laplacian_fft(op: SpectralPML, u: jax.Array) -> jax.Array:
     return jnp.stack([out.real, out.imag], axis=-1)
 
 
+# Measured on-chip crossover (tools/r3_op_crossover.py -> R2_TPU_EXTRAS.json
+# opx_*): the O(N^3) matmul operator wins through 512^2 (294 vs 242 Mgp/s),
+# the O(N^2 log N) fft mode wins from 1024^2 (176 vs 158) widening to 1.9x
+# at 4096^2 (572 vs 379). "auto" picks per grid size at trace time (shapes
+# are static under jit, so this is free).
+AUTO_FFT_MIN_SIZE = 1024
+
+
+def resolve_mode(mode: str, height: int, width: int) -> str:
+    """Resolve operator_mode='auto' to a concrete mode for an HxW grid."""
+    if mode != "auto":
+        return mode
+    return "fft" if max(height, width) >= AUTO_FFT_MIN_SIZE else "matmul"
+
+
 def laplacian(op: SpectralPML, u: jax.Array, mode: str = "matmul") -> jax.Array:
+    mode = resolve_mode(mode, u.shape[-3], u.shape[-2])
     if mode == "matmul":
         return laplacian_matmul(op, u)
     elif mode == "fft":

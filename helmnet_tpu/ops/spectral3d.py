@@ -174,6 +174,12 @@ def laplacian3d_fft(op: SpectralPML3D, u: jax.Array) -> jax.Array:
 
 
 def laplacian3d(op: SpectralPML3D, u: jax.Array, mode: str = "matmul") -> jax.Array:
+    # 'auto' resolves to matmul: measured on-chip at 256^3 the dense
+    # per-axis matmuls run 2.7x faster than the 1D-FFT path (1946 vs 727
+    # Mgp/s, R2_TPU_EXTRAS.json helm3d_residual_*); the 3D crossover was
+    # not reached at any size that fits one chip.
+    if mode == "auto":
+        mode = "matmul"
     if mode == "matmul":
         return laplacian3d_matmul(op, u)
     elif mode == "fft":

@@ -141,12 +141,7 @@ def make_helmholtz_matvec(op, k_sq: jax.Array, mode: str = "matmul"):
     return mv
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mode", "restart", "max_restarts", "tol", "precond",
-                     "shift"),
-)
-def solve_helmholtz(
+def _solve_helmholtz_impl(
     op,
     k_sq: jax.Array,
     source: jax.Array,
@@ -204,6 +199,48 @@ def solve_helmholtz(
         checkpoints=as_pair(res.checkpoints),
         iterations=res.iterations,
     )
+
+
+solve_helmholtz = functools.partial(
+    jax.jit,
+    static_argnames=("mode", "restart", "max_restarts", "tol", "precond",
+                     "shift"),
+)(_solve_helmholtz_impl)
+
+
+@functools.lru_cache(maxsize=16)
+def _checked_solver(mode, restart, max_restarts, tol, precond, shift):
+    from ..core.sanitize import checked
+
+    def fn(op, k_sq, source):
+        return _solve_helmholtz_impl(
+            op, k_sq, source, mode=mode, restart=restart,
+            max_restarts=max_restarts, tol=tol, precond=precond, shift=shift,
+        )
+
+    return checked(fn, jit=True)
+
+
+def solve_helmholtz_checked(
+    op,
+    k_sq: jax.Array,
+    source: jax.Array,
+    *,
+    mode: str = "matmul",
+    restart: int = 20,
+    max_restarts: int = 50,
+    tol: float = 1e-10,
+    precond: str = "none",
+    shift: tuple = (1.0, 0.5),
+) -> GMRESResult:
+    """Sanitized solve_helmholtz: every primitive inside the GMRES cycles
+    is checkify-instrumented (core/sanitize.py), so a NaN/inf born inside
+    the solve — e.g. from a non-finite medium or source — raises a
+    JaxRuntimeError naming the offending operation instead of silently
+    filling the checkpoints with NaNs. Opt-in debugging path (SURVEY §5
+    sanitizers); compiled executables are cached per option tuple."""
+    return _checked_solver(mode, restart, max_restarts, tol, precond,
+                           tuple(shift))(op, k_sq, source)
 
 
 def solve_helmholtz_batch(

@@ -92,14 +92,23 @@ class Trainer:
         mesh=None,
         log_dir: Optional[str] = None,
         device_buffer: bool = False,
+        sanitize: bool = False,
     ):
         """device_buffer=True keeps the replay buffer + sos dataset in HBM
         and fuses sample/train/write-back into one jitted call
         (train/device_buffer.py) — the TPU-native path; the host-side
-        buffer remains the default for interop and tiny-memory runs."""
+        buffer remains the default for interop and tiny-memory runs.
+
+        sanitize=True checkify-instruments the train step (core/sanitize.py):
+        a NaN/inf born anywhere inside the unrolled loss/grad computation
+        raises immediately with the offending primitive's location, instead
+        of surfacing epochs later as a non-finite epoch loss. Debug-only —
+        instrumentation blocks some XLA fusions and disables buffer
+        donation."""
         self.cfg = cfg
         self.mesh = mesh
         self.device_buffer = device_buffer
+        self.sanitize = sanitize
         self._dev_buf = None
         self._sos_pool = None
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -212,7 +221,54 @@ class Trainer:
             }
             return params, opt_state, metrics, evolved
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        if self.sanitize:
+            from ..core.sanitize import checked
+
+            # Two-tier sanitizer: the fast path runs the UNinstrumented
+            # step (checkify-instrumenting value_and_grad compiles
+            # pathologically slowly — measured >15 min even at 16^2), and
+            # only when a non-finite loss/grad appears do we replay the
+            # FORWARD pass under checkify to localize the first
+            # NaN/inf-producing primitive. Zero overhead when clean
+            # beyond a per-step host sync; full localization on failure.
+            def loss_forward(params, op, batch):
+                carry = SolverCarry(
+                    batch.wavefield,
+                    batch.residual,
+                    arch.unflatten_states(
+                        batch.states, batch.wavefield.shape[1:3], cfg.model
+                    ),
+                )
+                _, ys = n_steps(
+                    params, op, batch.source, batch.k_sq, carry,
+                    cfg=cfg, num_steps=num_steps,
+                )
+                return cfg.training.loss_amplify * jnp.mean(
+                    ys["residuals"] ** 2
+                )
+
+            base_step = jax.jit(train_step)  # no donation: batch replayed
+            checked_fwd = checked(loss_forward, jit=True)
+
+            def sane_step(params, opt_state, op, batch, pick):
+                out = base_step(params, opt_state, op, batch, pick)
+                m = out[2]
+                loss = float(m["loss"])
+                gn = float(m["grad_norm"])
+                if not (np.isfinite(loss) and np.isfinite(gn)):
+                    # raises with the primitive location if forward-born
+                    checked_fwd(params, op, batch)
+                    raise FloatingPointError(
+                        f"non-finite training step (loss={loss}, "
+                        f"grad_norm={gn}) with a finite forward pass: the "
+                        "NaN/inf was produced in the BACKWARD pass (e.g. a "
+                        "derivative at a non-differentiable point)"
+                    )
+                return out
+
+            self._train_step = sane_step
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
         def init_experiences(op, source, sos_maps):
             """Fresh iteration-0 experiences (train_dataloader fill logic,

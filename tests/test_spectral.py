@@ -146,3 +146,37 @@ class TestLaplacian:
             as_pair(s)[None],
         )
         assert float(jnp.abs(r).max()) < 5e-4 * float(np.abs(u).max() + 1)
+
+
+class TestAutoMode:
+    """operator_mode='auto' resolves per grid size from the measured
+    on-chip crossover (tools/r3_op_crossover.py)."""
+
+    def test_resolution_thresholds(self):
+        from helmnet_tpu.ops.spectral import resolve_mode
+
+        assert resolve_mode("auto", 96, 96) == "matmul"
+        assert resolve_mode("auto", 512, 512) == "matmul"
+        assert resolve_mode("auto", 1024, 1024) == "fft"
+        assert resolve_mode("auto", 2048, 2048) == "fft"
+        assert resolve_mode("auto", 512, 1024) == "fft"  # max-dim rule
+        assert resolve_mode("matmul", 4096, 4096) == "matmul"  # explicit wins
+
+    def test_auto_matches_concrete_mode(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from helmnet_tpu.ops.spectral import (
+            helmholtz_residual,
+            make_operator,
+        )
+
+        n = 32
+        op = make_operator(n, n, 6, 2.0, 1.0)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal((n, n, 2)), jnp.float32)
+        k_sq = jnp.ones((n, n), jnp.float32)
+        src = jnp.zeros((n, n, 2), jnp.float32)
+        r_auto = helmholtz_residual(op, u, k_sq, src, "auto")
+        r_mm = helmholtz_residual(op, u, k_sq, src, "matmul")
+        np.testing.assert_array_equal(np.asarray(r_auto), np.asarray(r_mm))

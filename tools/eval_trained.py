@@ -203,7 +203,7 @@ def main():
             "the shipped reference checkpoint is likewise a best-val pick at "
             "epoch 280.\n"
         )
-    print("wrote TRAINING.md")
+    print(f"wrote {args.md_name}")
 
 
 if __name__ == "__main__":

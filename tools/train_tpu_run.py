@@ -43,6 +43,15 @@ def main():
     ap.add_argument("--init-from", type=str, default=None,
                     help="tag whose BEST checkpoint warm-starts params/opt "
                          "state when this tag has no checkpoint yet")
+    ap.add_argument("--size", type=int, default=96,
+                    help="training grid size (round-3: BASELINE config #5 "
+                         "calls for large-grid training; one chip fits 256 "
+                         "with the default buffer, 512 with --buffer <=128)")
+    ap.add_argument("--buffer", type=int, default=None,
+                    help="replay buffer slots (HBM ~ buffer * size^2 * "
+                         "(7 + state_ch*4/3) * 4 B on the device path)")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--unroll", type=int, default=None)
     args = ap.parse_args()
 
     import dataclasses
@@ -56,7 +65,13 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     cfg = Config()
+    # source location scales with the grid (reference base.json location is
+    # for 96^2); geometry/PML stay at the reference proportions
+    scale = args.size / cfg.geometry.domain_size
+    loc = tuple(int(round(c * scale)) for c in cfg.source.location)
     cfg = cfg.replace(
+        geometry=dataclasses.replace(cfg.geometry, domain_size=args.size),
+        source=dataclasses.replace(cfg.source, location=loc),
         model=dataclasses.replace(cfg.model, precision=args.precision),
         training=dataclasses.replace(
             cfg.training,
@@ -64,6 +79,9 @@ def main():
             p_extended_source=args.p_extended_source,
             **({"learning_rate": args.lr} if args.lr else {}),
             **({"max_epochs": args.max_epochs} if args.max_epochs else {}),
+            **({"buffer_size": args.buffer} if args.buffer else {}),
+            **({"train_batch_size": args.batch} if args.batch else {}),
+            **({"unrolling_steps": args.unroll} if args.unroll else {}),
         ),
     )
 
@@ -75,7 +93,7 @@ def main():
             train_maps, val_maps = f["train"], f["val"]
     else:
         print("generating dataset ...", flush=True)
-        maps = make_dataset(args.train_maps + args.val_maps, 96, seed=42)
+        maps = make_dataset(args.train_maps + args.val_maps, args.size, seed=42)
         train_maps, val_maps = maps[: args.train_maps], maps[args.train_maps :]
         np.savez_compressed(cache, train=train_maps, val=val_maps)
     print(f"train maps {len(train_maps)}  val maps {len(val_maps)}", flush=True)
