@@ -30,7 +30,32 @@ import numpy as np
 import optax
 
 from ..core.config import Config
-from ..core.meshes import shard_batch
+from ..core.meshes import shard_batch  # noqa: F401  (public re-export)
+
+
+def shard_experience(mesh, batch):
+    """Domain-partitioned placement of an ExperienceBatch on the
+    (data, y, x) mesh: field arrays [B, H, W, C] shard over
+    (data, y, x), k_sq [B, H, W] likewise, the flat recurrent states
+    [B, C, L] and per-slot iteration counters over data only (the flat
+    state packing interleaves per-depth grids, so a spatial split of L
+    is not meaningful — the network's scan carries reshape them
+    per-level inside the step, where GSPMD re-partitions freely)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..distributed.multihost import put_global
+
+    sp4 = NamedSharding(mesh, P("data", "y", "x", None))
+    sp3 = NamedSharding(mesh, P("data", "y", "x"))
+    d1 = NamedSharding(mesh, P("data"))
+    return batch._replace(
+        wavefield=put_global(batch.wavefield, sp4),
+        residual=put_global(batch.residual, sp4),
+        source=put_global(batch.source, sp4),
+        k_sq=put_global(batch.k_sq, sp3),
+        states=put_global(batch.states, d1),
+        iteration=put_global(batch.iteration, d1),
+    )
 from ..models import hybridnet
 from ..models.registry import get_architecture
 from ..ops.source import line_source_map, point_source_map
@@ -429,9 +454,7 @@ class Trainer:
                 *[jnp.asarray(a) for a in batch[:-1]], batch.indices
             )
             if self.mesh is not None:
-                dev_batch = ExperienceBatch(
-                    *shard_batch(self.mesh, list(dev_batch[:-1])), batch.indices
-                )
+                dev_batch = shard_experience(self.mesh, dev_batch)
             self.params, self.opt_state, metrics, evolved = self._train_step(
                 self.params, self.opt_state, self.op, dev_batch, pick
             )

@@ -71,3 +71,21 @@ class TestShardedTraining:
         tr.fill_buffer(maps)
         stats = tr.training_epoch(maps)
         assert np.isfinite(stats["train_loss_mean"])
+
+    def test_mesh_epoch_matches_single_device(self):
+        """Full domain-partitioned epochs through training_epoch()
+        (spatially sharded experience batches, shard_experience) equal the
+        single-device run: same seeds -> same batches -> same losses."""
+        cfg = tiny_config()
+        maps = make_dataset(8, 32, seed=2)
+
+        t0 = Trainer(cfg)
+        t0.fill_buffer(maps)
+        l0 = [t0.training_epoch(maps)["train_loss_mean"] for _ in range(2)]
+
+        mesh = make_mesh(ParallelConfig(data=2, y=2, x=2))
+        t1 = Trainer(cfg, mesh=mesh)
+        t1.fill_buffer(maps)
+        l1 = [t1.training_epoch(maps)["train_loss_mean"] for _ in range(2)]
+
+        np.testing.assert_allclose(l1, l0, rtol=2e-4)

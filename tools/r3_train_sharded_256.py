@@ -1,0 +1,95 @@
+"""Domain-partitioned training at 256^2 on the virtual 8-device mesh.
+
+VERDICT round-2 item 4 (BASELINE config #5 analog): exercise the SHARDED
+buffer + train step at real shapes — not the dryrun's toys — through full
+Trainer.training_epoch() epochs with spatially partitioned experience
+batches (train/loop.shard_experience: fields over (data=2, y=2, x=2)).
+
+CPU-only correctness/throughput evidence (multi-chip hardware is not
+available here; the same code path runs on a real mesh unchanged):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        timeout 3600 python tools/r3_train_sharded_256.py
+
+Writes TRAIN_SHARDED_256.json: per-epoch losses (must decrease), epoch
+wall-times, and peak RSS.
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def main():
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import numpy as np
+
+    from helmnet_tpu.core.config import Config, ParallelConfig
+    from helmnet_tpu.core.meshes import make_mesh
+    from helmnet_tpu.data.ellipses import make_dataset
+    from helmnet_tpu.train.loop import Trainer
+
+    assert len(jax.devices()) == 8, jax.devices()
+
+    size = int(os.environ.get("TS_SIZE", "256"))
+    epochs = int(os.environ.get("TS_EPOCHS", "4"))
+    cfg = Config()
+    scale = size / cfg.geometry.domain_size
+    loc = tuple(int(round(c * scale)) for c in cfg.source.location)
+    cfg = cfg.replace(
+        geometry=dataclasses.replace(cfg.geometry, domain_size=size),
+        source=dataclasses.replace(cfg.source, location=loc),
+        parallel=ParallelConfig(data=2, y=2, x=2),
+        training=dataclasses.replace(
+            cfg.training,
+            buffer_size=16,
+            train_batch_size=4,
+            unrolling_steps=4,
+        ),
+    )
+    mesh = make_mesh(cfg.parallel)
+    print("mesh:", mesh, flush=True)
+
+    maps = make_dataset(16, size, seed=7)
+    tr = Trainer(cfg, mesh=mesh)
+    tr.fill_buffer(maps)
+
+    out = {"size": size, "mesh": "data=2,y=2,x=2 (8 virtual CPU devices)",
+           "buffer": 16, "batch": 4, "unroll": 4, "epochs": []}
+    for _ in range(epochs):
+        t0 = time.time()
+        stats = tr.training_epoch(maps)
+        row = {
+            "epoch": stats["epoch"],
+            "loss": stats["train_loss_mean"],
+            "maxiter": stats["maxiter"],
+            "seconds": round(time.time() - t0, 1),
+        }
+        out["epochs"].append(row)
+        print(row, flush=True)
+    out["peak_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+    losses = [e["loss"] for e in out["epochs"]]
+    out["loss_decreased"] = bool(losses[-1] < losses[0])
+    json.dump(out, open(os.path.join(ROOT, "TRAIN_SHARDED_256.json"), "w"),
+              indent=2)
+    print("wrote TRAIN_SHARDED_256.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
