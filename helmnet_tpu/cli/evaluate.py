@@ -25,9 +25,12 @@ def main(argv=None):
     p.add_argument("--out", type=str, default="results")
     p.add_argument("--save-wavefields", action="store_true")
     p.add_argument("--platform", type=str, default=None)
-    p.add_argument("--packed", type=int, default=0, metavar="G",
+    p.add_argument("--packed", type=str, default="auto", metavar="G",
                    help="channel-pack G problems per sample (models/packed):"
-                        " ~1.8x faster sweeps, identical results; rmse-only")
+                        " measured ~1.7x faster sweeps at 512^2x16, identical"
+                        " results; rmse-only. 'auto' (default) enables g=16"
+                        " for >=256^2 rmse-only sweeps with batch%%16==0"
+                        " (it LOSES at 96^2 - PERF_NOTES), 0 disables.")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -48,6 +51,22 @@ def main(argv=None):
         maps = maps[: args.limit]
     os.makedirs(args.out, exist_ok=True)
 
+    if args.packed == "auto":
+        # wire the measured 512^2x16 packing win in by default; packing
+        # LOSES below ~256^2 (PERF_NOTES "batch->channel packing")
+        grid = maps.shape[-1] if len(maps) else 0
+        # upper bound: rollout_packed needs the matmul operator, which
+        # auto mode only selects below 1024^2 (ops/spectral.resolve_mode)
+        args.packed = (
+            16 if (256 <= grid < 1024 and not args.save_wavefields
+                   and args.batch % 16 == 0)
+            else 0
+        )
+        if args.packed:
+            print(f"auto-packing g={args.packed} at {grid}^2 "
+                  "(disable with --packed 0)")
+    else:
+        args.packed = int(args.packed)
     if args.packed and args.save_wavefields:
         raise SystemExit("--packed collects rmse only (no --save-wavefields)")
     if args.packed and args.batch % args.packed:
