@@ -132,6 +132,10 @@ class TrainingConfig:
     # extended sources at all, and its checkpoint diverges on them —
     # PERF_NOTES.md 1024^2 limitation). 0.0 reproduces the reference.
     p_extended_source: float = 0.0
+    # rematerialize each unrolled BPTT step (jax.checkpoint): tape holds
+    # per-step carries only, ~1/3 extra FLOPs. Required for 3D training on
+    # one chip (70 GB un-rematerialized at 48^3 x batch 8 x unroll 10).
+    remat: bool = False
 
     @staticmethod
     def from_json(d: dict) -> "TrainingConfig":

@@ -86,14 +86,26 @@ def n_steps3d(
     *,
     cfg: Config,
     num_steps: int,
+    remat: bool = False,
 ):
     """Differentiable unrolled steps from an arbitrary solver state — the
     volume counterpart of solvers/iterative.n_steps (reference n_steps,
     hybridnet.py:586-623). Returns (final_carry, ys) with ys stacking
-    per-step wavefields/residuals/flat states [T, B, ...]."""
+    per-step wavefields/residuals/flat states [T, B, ...].
+
+    remat=True rematerializes each step in the backward pass
+    (jax.checkpoint): the BPTT tape keeps only the per-step carries
+    instead of every conv activation of the 3D UNet — measured
+    necessary on one chip (unroll-10 at 48^3 batch 8 wants 70 GB of
+    HBM un-rematerialized, ~2 GB with remat) at ~1/3 extra FLOPs."""
+    def step(p, c):
+        return single_step3d(p, op, source, k_sq, c, cfg=cfg)
+
+    if remat:
+        step = jax.checkpoint(step)
 
     def body(c, _):
-        c = single_step3d(params, op, source, k_sq, c, cfg=cfg)
+        c = step(params, c)
         ys = {
             "wavefields": c.wavefield,
             "residuals": c.residual,

@@ -209,6 +209,7 @@ class Trainer3D:
                 _, ys = n_steps3d(
                     p, op, batch_src, batch_ksq, carry,
                     cfg=cfg, num_steps=num_steps,
+                    remat=cfg.training.remat,
                 )
                 res = ys["residuals"]
                 return cfg.training.loss_amplify * jnp.mean(res**2), ys

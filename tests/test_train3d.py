@@ -130,3 +130,23 @@ def test_load_params3d_matches_save(tmp_path):
         jax.tree_util.tree_leaves(tr.params), jax.tree_util.tree_leaves(loaded)
     ):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer3d_remat_matches_unrematerialized(volumes):
+    """remat=True (jax.checkpoint per BPTT step) must be a pure memory/
+    FLOP trade: identical losses and updated parameters."""
+    import numpy as np
+
+    tr_a = Trainer3D(tiny_cfg(), key=jax.random.PRNGKey(5))
+    tr_b = Trainer3D(tiny_cfg(remat=True), key=jax.random.PRNGKey(5))
+    tr_a.fill_buffer(volumes)
+    tr_b.fill_buffer(volumes)
+    sa = tr_a.training_epoch(2)
+    sb = tr_b.training_epoch(2)
+    assert sb["train_loss_mean"] == pytest.approx(
+        sa["train_loss_mean"], rel=1e-5
+    )
+    la = jax.tree_util.tree_leaves(tr_a.params)
+    lb = jax.tree_util.tree_leaves(tr_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--val-every", type=int, default=10)
     ap.add_argument("--val-iters", type=int, default=200)
     ap.add_argument("--batches-per-epoch", type=int, default=None)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable BPTT-step rematerialization (needs ~35x "
+                         "the HBM at the default config)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +71,7 @@ def main():
             unrolling_steps=args.unroll,
             learning_rate=args.lr,
             p_random_source=args.p_random_source,
+            remat=not args.no_remat,
         ),
     )
 
