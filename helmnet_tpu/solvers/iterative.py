@@ -171,7 +171,9 @@ def rollout(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_steps"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_steps", "remat")
+)
 def n_steps(
     params,
     op: SpectralPML,
@@ -181,15 +183,27 @@ def n_steps(
     *,
     cfg: Config,
     num_steps: int,
+    remat: bool = False,
 ):
     """Differentiable unrolled steps from an arbitrary solver state
     (reference n_steps, hybridnet.py:586-623). Returns (final_carry, ys) with
-    ys stacking per-step wavefields/residuals/flat states [T, B, ...]."""
+    ys stacking per-step wavefields/residuals/flat states [T, B, ...].
+
+    remat=True rematerializes each step in the backward pass
+    (jax.checkpoint): the BPTT tape keeps only per-step carries instead
+    of every conv activation — the lever that makes >=1024^2 training
+    fit one chip (see TrainingConfig.remat and the 3D counterpart)."""
 
     arch = get_architecture(cfg.model.architecture)
 
+    def step(p, c):
+        return single_step(p, op, source, k_sq, c, cfg=cfg)
+
+    if remat:
+        step = jax.checkpoint(step)
+
     def body(carry, _):
-        carry = single_step(params, op, source, k_sq, carry, cfg=cfg)
+        carry = step(params, carry)
         ys = {
             "wavefields": carry.wavefield,
             "residuals": carry.residual,

@@ -78,7 +78,8 @@ def make_device_buffer_fns(cfg: Config, optimizer):
                 ),
             )
             _, ys = n_steps(
-                p, op, batch_src, batch_ksq, carry, cfg=cfg, num_steps=num_steps
+                p, op, batch_src, batch_ksq, carry, cfg=cfg,
+                num_steps=num_steps, remat=cfg.training.remat,
             )
             res = ys["residuals"]
             return cfg.training.loss_amplify * jnp.mean(res**2), ys

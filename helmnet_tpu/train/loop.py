@@ -31,6 +31,18 @@ import optax
 
 from ..core.config import Config
 from ..core.meshes import shard_batch  # noqa: F401  (public re-export)
+from ..models import hybridnet
+from ..models.registry import get_architecture
+from ..ops.source import line_source_map, point_source_map
+from ..ops.spectral import helmholtz_residual, make_operator
+from ..solvers.iterative import (
+    SolverCarry,
+    get_initials,
+    n_steps,
+    residual_rmse,
+    rollout,
+)
+from .replay import ExperienceBatch, ReplayBuffer
 
 
 def shard_experience(mesh, batch):
@@ -56,18 +68,6 @@ def shard_experience(mesh, batch):
         states=put_global(batch.states, d1),
         iteration=put_global(batch.iteration, d1),
     )
-from ..models import hybridnet
-from ..models.registry import get_architecture
-from ..ops.source import line_source_map, point_source_map
-from ..ops.spectral import helmholtz_residual, make_operator
-from ..solvers.iterative import (
-    SolverCarry,
-    get_initials,
-    n_steps,
-    residual_rmse,
-    rollout,
-)
-from .replay import ExperienceBatch, ReplayBuffer
 
 
 def make_optimizer(cfg: Config):
@@ -216,6 +216,7 @@ class Trainer:
                 _, ys = n_steps(
                     p, op, batch.source, batch.k_sq, carry,
                     cfg=cfg, num_steps=num_steps,
+                    remat=cfg.training.remat,
                 )
                 res = ys["residuals"]  # [U, B, H, W, 2]
                 loss = cfg.training.loss_amplify * jnp.mean(res**2)
@@ -267,6 +268,7 @@ class Trainer:
                 _, ys = n_steps(
                     params, op, batch.source, batch.k_sq, carry,
                     cfg=cfg, num_steps=num_steps,
+                    remat=cfg.training.remat,
                 )
                 return cfg.training.loss_amplify * jnp.mean(
                     ys["residuals"] ** 2

@@ -1,6 +1,7 @@
 """Training-loop tests: replay semantics, curriculum, plateau scheduler, and
 an end-to-end smoke run showing decreasing physics loss on a tiny config."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -13,7 +14,7 @@ from helmnet_tpu.core.config import (
 )
 from helmnet_tpu.data.ellipses import make_dataset
 from helmnet_tpu.train.loop import PlateauScheduler, Trainer
-from helmnet_tpu.train.replay import ReplayBuffer
+from helmnet_tpu.train.replay import ExperienceBatch, ReplayBuffer
 
 
 def tiny_config():
@@ -187,3 +188,29 @@ class TestGenerateDatasetCLI:
 
         assert load_maps(out + "/trainset.npz").shape == (8, 32, 32)
         assert load_maps(out + "/testset.npz").shape == (2, 32, 32)
+
+
+def test_remat_train_step_matches_unrematerialized():
+    """TrainingConfig.remat must be a pure memory/FLOP trade: identical
+    losses and updated parameters (2D counterpart of the 3D test)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg_r = cfg.replace(
+        training=dataclasses.replace(cfg.training, remat=True)
+    )
+    maps = np.ones((4, 32, 32), np.float32)
+    t0 = Trainer(cfg)
+    t1 = Trainer(cfg_r)
+    t0.fill_buffer(maps)
+    batch = t0.buffer.sample(cfg.training.train_batch_size)
+    import jax.numpy as jnp
+
+    dev = ExperienceBatch(*[jnp.asarray(a) for a in batch])
+    p0, _, m0, _ = t0._train_step(t0.params, t0.opt_state, t0.op, dev, 1)
+    p1, _, m1, _ = t1._train_step(t1.params, t1.opt_state, t1.op, dev, 1)
+    assert float(m1["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

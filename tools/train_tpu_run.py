@@ -52,6 +52,9 @@ def main():
                          "(7 + state_ch*4/3) * 4 B on the device path)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--unroll", type=int, default=None)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize each BPTT step (required for "
+                         "1024^2 on one chip; see TrainingConfig.remat)")
     args = ap.parse_args()
 
     import dataclasses
@@ -82,6 +85,7 @@ def main():
             **({"buffer_size": args.buffer} if args.buffer else {}),
             **({"train_batch_size": args.batch} if args.batch else {}),
             **({"unrolling_steps": args.unroll} if args.unroll else {}),
+            **({"remat": True} if args.remat else {}),
         ),
     )
 
