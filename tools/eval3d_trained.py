@@ -114,14 +114,21 @@ def main():
         rmse_r = np.asarray(out_r["rmse"])
         best_f = np.asarray(out_f["best_rmse"])
         best_r = np.asarray(out_r["best_rmse"])
+        # TRUE iteration-0 residual: r = L*0 + k^2*0 - s = -s, so the
+        # baseline is the per-sample RMSE of the source map itself
+        # (rmse_f[0] is AFTER the first learned step and understates
+        # the reduction)
+        rmse0_f = np.sqrt(np.mean(np.asarray(fixed) ** 2, axis=(1, 2, 3, 4)))
+        rmse0_r = np.sqrt(
+            np.mean(np.asarray(rand_srcs) ** 2, axis=(1, 2, 3, 4)))
         row = {
             "epoch": ep,
             "fixed_median": float(np.median(best_f)),
             "fixed_p90": float(np.quantile(best_f, 0.9)),
             "rand_median": float(np.median(best_r)),
             "rand_p90": float(np.quantile(best_r, 0.9)),
-            "fixed_reduction_x": float(np.median(rmse_f[0] / best_f)),
-            "rand_reduction_x": float(np.median(rmse_r[0] / best_r)),
+            "fixed_reduction_x": float(np.median(rmse0_f / best_f)),
+            "rand_reduction_x": float(np.median(rmse0_r / best_r)),
         }
         rows.append(row)
         print(row, flush=True)
