@@ -136,6 +136,13 @@ class TrainingConfig:
     # per-step carries only, ~1/3 extra FLOPs. Required for 3D training on
     # one chip (70 GB un-rematerialized at 48^3 x batch 8 x unroll 10).
     remat: bool = False
+    # device-path training source pool representation. None = auto: store
+    # [K, 2] integer locations + separable 1D kernels and stamp point
+    # sources on device (ops/source.point_source_kernels) when the grid is
+    # >= 256^2 and no extended (line) sources are in the curriculum; the
+    # dense [K, H, W, 2] pool is 5.6 GB of HBM at 1024^2 with the
+    # 720-circle curriculum. True/False force the representation.
+    sparse_source_pool: bool | None = None
 
     @staticmethod
     def from_json(d: dict) -> "TrainingConfig":

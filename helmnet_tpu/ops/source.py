@@ -125,6 +125,49 @@ def line_source_map(
     )
 
 
+def point_source_kernels(
+    height: int, width: int, smooth: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Separable 1D amplitude kernels (ky [H], kx [W], float32) such that
+
+        point_source_amplitude(H, W, (r, c), a, smooth)
+            == a * np.outer(np.roll(ky, r), np.roll(kx, c))
+
+    to machine precision: the FFT of a pixel delta is an outer product of
+    per-axis phase ramps and the Blackman window is an outer product, so
+    the (|.| of the) smoothed map factorizes per axis and translation is a
+    circular roll. This replaces the dense [K, H, W, 2] training source
+    pool — 5.6 GB of HBM at 1024^2 with the 720-circle curriculum
+    (the OOM that killed the first large-grid run) — with two vectors
+    plus [K, 2] integer locations, stamped on device per batch."""
+
+    def k1(n: int) -> np.ndarray:
+        w = periodic_blackman(n) if smooth else np.ones(n)
+        return np.abs(np.fft.ifft(np.fft.ifftshift(w)))
+
+    return k1(height).astype(np.float32), k1(width).astype(np.float32)
+
+
+def point_sources_on_device(ky, kx, locations, amplitude, phase, omega=1.0,
+                            t=0.0):
+    """[B, H, W, 2] channel-pair source maps from integer locations [B, 2],
+    computed on device (jnp) from the separable kernels of
+    `point_source_kernels`. Exact f32 equivalent of stacking
+    `point_source_map` over locations, with O(B*H*W) memory instead of a
+    gather from an O(K*H*W) dense pool."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(rc):
+        amp = amplitude * jnp.outer(
+            jnp.roll(ky, rc[0]), jnp.roll(kx, rc[1])
+        )
+        ct = omega * t + phase
+        return jnp.stack([amp * jnp.cos(ct), amp * jnp.sin(ct)], axis=-1)
+
+    return jax.vmap(one)(locations)
+
+
 def source_batch_from_locations(
     height: int,
     width: int,

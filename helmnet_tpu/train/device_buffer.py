@@ -21,17 +21,37 @@ import optax
 
 from ..core.config import Config
 from ..models.registry import get_architecture
+from ..ops.source import point_source_kernels, point_sources_on_device
 from ..ops.spectral import SpectralPML, helmholtz_residual
 from ..solvers.iterative import SolverCarry, get_initials, n_steps
 
 
-def make_device_buffer_fns(cfg: Config, optimizer):
+def make_device_buffer_fns(cfg: Config, optimizer, sparse_sources=False):
     """Returns (init_buffer, mega_step) jitted functions.
 
     Buffer pytree: dict of [cap, ...] arrays + iteration [cap] int32.
+
+    sparse_sources=True reinterprets the `src_pool` argument as [K, 2]
+    int32 point-source locations; source maps are stamped on device from
+    the separable Blackman kernels (TrainingConfig.sparse_source_pool —
+    a dense pool is O(K*H*W) HBM, fatal at 1024^2).
     """
     arch = get_architecture(cfg.model.architecture)
     num_steps = cfg.training.unrolling_steps
+
+    if sparse_sources:
+        n = cfg.geometry.domain_size
+        ky, kx = point_source_kernels(n, n, cfg.source.smoothing)
+        ky, kx = jnp.asarray(ky), jnp.asarray(kx)
+
+        def pool_sources(src_pool, idx):
+            return point_sources_on_device(
+                ky, kx, src_pool[idx], cfg.source.amplitude, cfg.source.phase,
+            )
+    else:
+
+        def pool_sources(src_pool, idx):
+            return src_pool[idx]
 
     def fresh_experiences(op: SpectralPML, source, sos_maps):
         k_sq, wavefield = get_initials(sos_maps, cfg.source.omega)
@@ -49,10 +69,11 @@ def make_device_buffer_fns(cfg: Config, optimizer):
     @jax.jit
     def init_buffer(op, src_pool, src_idx, sos_maps, ages):
         """Seed every slot from sos_maps [cap, H, W]; ages [cap] int32;
-        slot i gets source map src_pool[src_idx[i]] ([K, H, W, 2] pool —
-        index 0 is the training source, higher indices are the optional
-        random-circle curriculum sources)."""
-        src = src_pool[src_idx]
+        slot i gets source map src_pool[src_idx[i]] ([K, H, W, 2] pool, or
+        [K, 2] locations under sparse_sources — index 0 is the training
+        source, higher indices are the optional random-circle curriculum
+        sources)."""
+        src = pool_sources(src_pool, src_idx)
         exp = fresh_experiences(op, src, sos_maps)
         exp["source"] = src
         exp["iteration"] = ages.astype(jnp.int32)
@@ -98,7 +119,7 @@ def make_device_buffer_fns(cfg: Config, optimizer):
         new_age = batch_age + pick + 1
         keep = (res_sq_mean < 1.0) & (new_age < maxiter)
         fresh_sos = sos_pool[fresh_idx]
-        fresh_src = src_pool[fresh_src_idx]
+        fresh_src = pool_sources(src_pool, fresh_src_idx)
         fresh = fresh_experiences(op, fresh_src, fresh_sos)
 
         k4 = keep[:, None, None, None]

@@ -153,7 +153,27 @@ class Trainer:
                 s.phase, s.omega, 0.0, s.smoothing,
             )
         )
-        self.src_pool = jnp.asarray(self._build_source_pool())
+        t = cfg.training
+        auto_sparse = (
+            device_buffer
+            and t.p_extended_source <= 0
+            and self.height * self.width >= 256 * 256
+        )
+        self._sparse_sources = (
+            t.sparse_source_pool
+            if t.sparse_source_pool is not None
+            else auto_sparse
+        )
+        if self._sparse_sources and t.p_extended_source > 0:
+            raise ValueError(
+                "sparse_source_pool stores point locations only; extended "
+                "line-segment sources need the dense pool"
+            )
+        self.src_pool = jnp.asarray(
+            self._build_source_locs()
+            if self._sparse_sources
+            else self._build_source_pool()
+        )
         self.optimizer = make_optimizer(cfg)
         self.opt_state = self.optimizer.init(self.params)
         self.capacity = cfg.training.buffer_size
@@ -320,7 +340,7 @@ class Trainer:
             from .device_buffer import make_device_buffer_fns
 
             self._init_dev_buffer, self._mega_step = make_device_buffer_fns(
-                cfg, self.optimizer
+                cfg, self.optimizer, sparse_sources=self._sparse_sources
             )
 
     # ------------------------------------------------------------------
@@ -335,13 +355,7 @@ class Trainer:
         s = self.cfg.source
         maps = [np.asarray(self.source_map)]
         if self.cfg.training.p_random_source > 0:
-            L = self.height // 2
-            dL = L - self.cfg.geometry.pml_size - 2
-            locs = {
-                (int(L + dL * np.cos(t)), int(L + dL * np.sin(t)))
-                for t in np.linspace(0, 2 * np.pi, 720, endpoint=False)
-            }
-            for loc in sorted(locs):
+            for loc in self._circle_locations():
                 maps.append(
                     point_source_map(
                         self.height, self.width, loc, s.amplitude,
@@ -360,6 +374,29 @@ class Trainer:
                     )
                 )
         return np.stack(maps).astype(np.float32)
+
+    def _circle_locations(self) -> list:
+        """Distinct integer circle locations of the validation protocol
+        (hybridnet.py:178-190) used as the random-source curriculum pool."""
+        L = self.height // 2
+        dL = L - self.cfg.geometry.pml_size - 2
+        locs = {
+            (int(L + dL * np.cos(t)), int(L + dL * np.sin(t)))
+            for t in np.linspace(0, 2 * np.pi, 720, endpoint=False)
+        }
+        return sorted(locs)
+
+    def _build_source_locs(self) -> np.ndarray:
+        """[K, 2] int32 point-source locations (sparse pool representation):
+        index 0 is the fixed training source, the rest the circle
+        curriculum. Source maps are stamped on device from separable
+        kernels (ops/source.point_source_kernels) — the dense pool is
+        O(K*H*W) HBM, 5.6 GB at 1024^2."""
+        locs = [tuple(self.cfg.source.location)]
+        if self.cfg.training.p_random_source > 0:
+            locs.extend(self._circle_locations())
+        self._n_point_sources = len(locs)
+        return np.asarray(locs, np.int32)
 
     def random_line_endpoints(self, rng=None):
         """Endpoints of a random interior segment: center anywhere outside

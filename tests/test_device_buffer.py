@@ -8,6 +8,28 @@ from helmnet_tpu.train.loop import Trainer
 from tests.test_training import tiny_config
 
 
+def test_point_source_kernels_identity():
+    """Separable-kernel stamp == point_source_map for arbitrary locations,
+    smoothed and raw (the identity the sparse source pool rests on)."""
+    import jax.numpy as jnp
+
+    from helmnet_tpu.ops.source import (
+        point_source_kernels,
+        point_source_map,
+        point_sources_on_device,
+    )
+
+    for smooth in (True, False):
+        ky, kx = point_source_kernels(40, 56, smooth)
+        locs = jnp.asarray([[0, 0], [17, 33], [39, 55]], jnp.int32)
+        got = np.asarray(
+            point_sources_on_device(ky, kx, locs, 10.0, 0.25, 2.0, 0.0)
+        )
+        for i, loc in enumerate([(0, 0), (17, 33), (39, 55)]):
+            ref = point_source_map(40, 56, loc, 10.0, 0.25, 2.0, 0.0, smooth)
+            assert np.allclose(got[i], ref, atol=3e-6 * np.abs(ref).max())
+
+
 class TestDeviceBuffer:
     def test_device_epoch_trains(self):
         cfg = tiny_config()
@@ -54,6 +76,59 @@ class TestDeviceBuffer:
             jnp.asarray(1), jnp.asarray(50),
         )
         assert float(mh["loss"]) == pytest.approx(float(md["loss"]), rel=1e-5)
+
+    def test_sparse_source_pool_matches_dense(self):
+        """sparse_source_pool=True (locations + separable on-device stamp)
+        seeds the same buffer sources and trains to the same first-step
+        loss as the dense [K, H, W, 2] pool (the 1024^2 HBM fix)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        def trainer(sparse):
+            cfg = tiny_config()
+            cfg = cfg.replace(
+                training=dataclasses.replace(
+                    cfg.training, p_random_source=1.0,
+                    sparse_source_pool=sparse,
+                )
+            )
+            tr = Trainer(cfg, device_buffer=True)
+            tr.fill_buffer(make_dataset(8, 32, seed=0))
+            return tr
+
+        ts, td = trainer(True), trainer(False)
+        assert ts.src_pool.ndim == 2 and ts.src_pool.shape[1] == 2
+        assert ts.src_pool.shape[0] == td.src_pool.shape[0]
+        src_s = np.asarray(ts._dev_buf["source"])
+        src_d = np.asarray(td._dev_buf["source"])
+        amp = np.abs(src_d).max()
+        assert np.allclose(src_s, src_d, atol=3e-6 * amp)
+        args = (
+            jnp.arange(4, dtype=jnp.int32), jnp.zeros(4, jnp.int32),
+            jnp.zeros(4, jnp.int32), jnp.asarray(1), jnp.asarray(50),
+        )
+        _, _, _, ms = ts._mega_step(
+            ts.params, ts.opt_state, ts._dev_buf, ts.op, ts.src_pool,
+            ts._sos_pool, *args,
+        )
+        _, _, _, md = td._mega_step(
+            td.params, td.opt_state, td._dev_buf, td.op, td.src_pool,
+            td._sos_pool, *args,
+        )
+        assert float(ms["loss"]) == pytest.approx(float(md["loss"]), rel=1e-4)
+
+    def test_sparse_pool_rejects_extended_sources(self):
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = cfg.replace(
+            training=dataclasses.replace(
+                cfg.training, p_extended_source=0.5, sparse_source_pool=True
+            )
+        )
+        with pytest.raises(ValueError, match="dense pool"):
+            Trainer(cfg, device_buffer=True)
 
     def test_random_source_pool(self):
         """p_random_source > 0: restarted slots draw circle sources from the
