@@ -56,6 +56,21 @@ def make_mesh(parallel: Optional[ParallelConfig] = None, devices=None) -> Mesh:
     return Mesh(devs, axis_names=("data", "y", "x"))
 
 
+def make_mesh3d(data: int = 1, z: int = 1, devices=None) -> Mesh:
+    """(data, z) mesh for 3D z-slab decomposition (distributed/slab3d.py).
+
+    3D keeps H and W local (one chip holds full slabs comfortably; the
+    per-axis matmul operator then needs exactly one reduce-scatter per
+    application) — so the 3D mesh is 2D: batch x depth-slabs."""
+    devices = devices if devices is not None else jax.devices()
+    if data * z > len(devices):
+        raise ValueError(
+            f"mesh needs {data * z} devices, only {len(devices)} available"
+        )
+    devs = np.asarray(devices[: data * z]).reshape(data, z)
+    return Mesh(devs, axis_names=("data", "z"))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-axis sharding for [B, ...] arrays."""
     return NamedSharding(mesh, P("data"))

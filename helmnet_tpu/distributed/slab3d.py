@@ -1,0 +1,107 @@
+"""Distributed 3D spectral PML residual via z-slab decomposition.
+
+3D volumes outgrow one chip quickly (a 512^3 learned-solver state tree is
+tens of GB), so the 3D operator needs a multi-chip form. The 3D Laplacian
+is three per-axis dense complex matmuls (ops/spectral3d.laplacian3d_matmul,
+the measured-fastest mode on chip); under a z-slab sharding
+P('data', 'z', None, None, None) of [B, D, H, W, 2] fields:
+
+  * the y- and x-axis matmuls contract over UNSHARDED axes — fully local;
+  * the z-axis matmul contracts over the sharded axis — each device
+    multiplies its slab by the matching COLUMN block of A_z, producing a
+    full-depth partial sum, and a single tiled `psum_scatter` over ICI
+    both reduces the partials and deals each device its own output slab.
+
+Per application the only traffic is that one reduce-scatter of the field
+(the canonical distributed-GEMM pattern; contrast the 2D halo exchange in
+distributed/halo.py, which ships 2r rows — here the operator is dense so
+the reduction IS the communication). The reference is 2D- and
+single-process-only (/root/reference/helmnet/spectral.py:31-79).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.spectral3d import SpectralPML3D, _complex_axis_matmul
+
+
+def make_sharded_residual3d(mesh: Mesh, op: SpectralPML3D, axis: str = "z"):
+    """Returns jitted residual(u, k_sq, source) for z-slab shards.
+
+    u, source: [B, D, H, W, 2] sharded P('data', axis, None, None, None);
+    k_sq: [B, D, H, W] sharded P('data', axis, None, None).
+    D must be divisible by the axis size.
+    """
+    spec5 = P("data", axis, None, None, None)
+    spec4 = P("data", axis, None, None)
+    rep = P(None, None)
+
+    def local_residual(az_r, az_i, ay_r, ay_i, ax_r, ax_i, u, k_sq, src):
+        # u local: [B_loc, Dz_loc, H, W, 2]
+        dz_loc = u.shape[1]
+        idx = jax.lax.axis_index(axis)
+        col = lambda m: jax.lax.dynamic_slice_in_dim(
+            m, idx * dz_loc, dz_loc, axis=1
+        )
+        # full-depth partial rows from the local slab's A_z columns ...
+        lz_full = _complex_axis_matmul(
+            col(az_r), col(az_i), u, "dj,bjhwc->bdhwc"
+        )
+        # ... one reduce-scatter sums partials AND deals out row slabs
+        lz = jax.lax.psum_scatter(
+            lz_full, axis, scatter_dimension=1, tiled=True
+        )
+        ly = _complex_axis_matmul(ay_r, ay_i, u, "hj,bdjwc->bdhwc")
+        lx = _complex_axis_matmul(ax_r, ax_i, u, "wj,bdhjc->bdhwc")
+        return lz + ly + lx + k_sq[..., None] * u - src
+
+    shard_fn = jax.shard_map(
+        local_residual,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, spec5, spec4, spec5),
+        out_specs=spec5,
+    )
+
+    @jax.jit
+    def residual(u, k_sq, source):
+        return shard_fn(
+            op.az_r, op.az_i, op.ay_r, op.ay_i, op.ax_r, op.ax_i,
+            u, k_sq, source,
+        )
+
+    return residual
+
+
+def make_sharded_residual_norm3d(mesh: Mesh, axis: str = "z"):
+    """Per-sample residual RMSE with psum over the slab axis."""
+    spec5 = P("data", axis, None, None, None)
+
+    def local_norm(res):
+        s = jnp.sum(res**2, axis=(1, 2, 3, 4))
+        s = jax.lax.psum(s, axis)
+        count = (
+            res.shape[1] * res.shape[2] * res.shape[3] * res.shape[4]
+        ) * jax.lax.psum(1, axis)
+        return jnp.sqrt(s / count)
+
+    return jax.jit(
+        jax.shard_map(local_norm, mesh=mesh, in_specs=spec5, out_specs=P("data"))
+    )
+
+
+def slab_put(mesh: Mesh, tree, axis: str = "z"):
+    """Place [B, D, H, W, (2)] arrays sharded over ('data', axis)."""
+
+    def put(a):
+        if a.ndim == 5:
+            s = NamedSharding(mesh, P("data", axis, None, None, None))
+        elif a.ndim == 4:
+            s = NamedSharding(mesh, P("data", axis, None, None))
+        else:
+            s = NamedSharding(mesh, P("data"))
+        return jax.device_put(a, s)
+
+    return jax.tree.map(put, tree)
