@@ -7,16 +7,23 @@ the measured-fastest mode on chip); under a z-slab sharding
 P('data', 'z', None, None, None) of [B, D, H, W, 2] fields:
 
   * the y- and x-axis matmuls contract over UNSHARDED axes — fully local;
-  * the z-axis matmul contracts over the sharded axis — each device
-    multiplies its slab by the matching COLUMN block of A_z, producing a
-    full-depth partial sum, and a single tiled `psum_scatter` over ICI
-    both reduces the partials and deals each device its own output slab.
+  * the z-axis matmul contracts over the sharded axis. Two methods:
 
-Per application the only traffic is that one reduce-scatter of the field
-(the canonical distributed-GEMM pattern; contrast the 2D halo exchange in
-distributed/halo.py, which ships 2r rows — here the operator is dense so
-the reduction IS the communication). The reference is 2D- and
-single-process-only (/root/reference/helmnet/spectral.py:31-79).
+    - 'transpose' (default): `all_to_all` re-shards the field from
+      z-slabs to y-slabs (full z becomes local), the z GEMM runs locally,
+      and a second `all_to_all` transposes back — the dfft.py slab trick
+      applied to a dense contraction. Traffic: 2 * (d-1)/d of the LOCAL
+      shard per apply (~2/d of the field).
+    - 'scatter': each device multiplies its slab by the matching COLUMN
+      block of A_z, producing a full-depth partial sum, and one tiled
+      `psum_scatter` both reduces and deals out output slabs. Traffic:
+      (d-1)/d of the FULL field per apply — d/2 x more bytes than
+      'transpose' on d devices, but a single collective with no
+      re-layout; kept for 2-device meshes (equal traffic, one hop) and
+      as the canonical distributed-GEMM cross-check.
+
+The reference is 2D- and single-process-only
+(/root/reference/helmnet/spectral.py:31-79).
 """
 
 from __future__ import annotations
@@ -28,19 +35,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.spectral3d import SpectralPML3D, _complex_axis_matmul
 
 
-def make_sharded_residual3d(mesh: Mesh, op: SpectralPML3D, axis: str = "z"):
+def make_sharded_residual3d(
+    mesh: Mesh, op: SpectralPML3D, axis: str = "z",
+    method: str = "transpose",
+):
     """Returns jitted residual(u, k_sq, source) for z-slab shards.
 
     u, source: [B, D, H, W, 2] sharded P('data', axis, None, None, None);
     k_sq: [B, D, H, W] sharded P('data', axis, None, None).
-    D must be divisible by the axis size.
+    D and H must be divisible by the axis size. `method` selects the
+    z-contraction collective: 'transpose' (2 all_to_alls of the local
+    shard) or 'scatter' (one psum_scatter of the full field) — see
+    module docstring for the traffic economics.
     """
+    if method not in ("transpose", "scatter"):
+        raise ValueError(f"unknown slab3d method {method!r}")
     spec5 = P("data", axis, None, None, None)
     spec4 = P("data", axis, None, None)
     rep = P(None, None)
 
-    def local_residual(az_r, az_i, ay_r, ay_i, ax_r, ax_i, u, k_sq, src):
-        # u local: [B_loc, Dz_loc, H, W, 2]
+    def lz_scatter(az_r, az_i, u):
         dz_loc = u.shape[1]
         idx = jax.lax.axis_index(axis)
         col = lambda m: jax.lax.dynamic_slice_in_dim(
@@ -51,9 +65,24 @@ def make_sharded_residual3d(mesh: Mesh, op: SpectralPML3D, axis: str = "z"):
             col(az_r), col(az_i), u, "dj,bjhwc->bdhwc"
         )
         # ... one reduce-scatter sums partials AND deals out row slabs
-        lz = jax.lax.psum_scatter(
+        return jax.lax.psum_scatter(
             lz_full, axis, scatter_dimension=1, tiled=True
         )
+
+    def lz_transpose(az_r, az_i, u):
+        # z-slabs -> y-slabs: [B, Dz_loc, H, W, 2] -> [B, D, H_loc, W, 2]
+        t = jax.lax.all_to_all(u, axis, split_axis=2, concat_axis=1,
+                               tiled=True)
+        lz_t = _complex_axis_matmul(az_r, az_i, t, "dj,bjhwc->bdhwc")
+        # back to z-slabs
+        return jax.lax.all_to_all(lz_t, axis, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    lz_fn = lz_transpose if method == "transpose" else lz_scatter
+
+    def local_residual(az_r, az_i, ay_r, ay_i, ax_r, ax_i, u, k_sq, src):
+        # u local: [B_loc, Dz_loc, H, W, 2]
+        lz = lz_fn(az_r, az_i, u)
         ly = _complex_axis_matmul(ay_r, ay_i, u, "hj,bdjwc->bdhwc")
         lx = _complex_axis_matmul(ax_r, ax_i, u, "wj,bdhjc->bdhwc")
         return lz + ly + lx + k_sq[..., None] * u - src

@@ -29,7 +29,8 @@ def mesh():
 
 
 class TestSlab3D:
-    def test_sharded_residual_equals_single_device(self, mesh):
+    @pytest.mark.parametrize("method", ["transpose", "scatter"])
+    def test_sharded_residual_equals_single_device(self, mesh, method):
         n = 24
         op = make_operator3d(n, n, n, 4, 2.0, 1.0)
         rng = np.random.default_rng(11)
@@ -40,7 +41,7 @@ class TestSlab3D:
         expected = np.asarray(
             helmholtz_residual3d(op, u, k_sq, src, "matmul")
         )
-        residual = make_sharded_residual3d(mesh, op)
+        residual = make_sharded_residual3d(mesh, op, method=method)
         u_s, k_s, s_s = slab_put(
             mesh, (jnp.asarray(u), jnp.asarray(k_sq), jnp.asarray(src))
         )

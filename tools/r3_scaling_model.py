@@ -97,6 +97,48 @@ def dfft_model(n_local=1024, devices=(2, 4, 8)):
     return rows
 
 
+def slab3d_model(n_global=512, devices=(2, 4, 8)):
+    """3D z-slab per-axis-matmul residual (distributed/slab3d.py), weak
+    scaling at a 512^3 global volume (one chip holds 256^3; 512^3 is the
+    first size that NEEDS the decomposition).
+
+    Compute: effective matmul rate from the measured on-chip 256^3 apply
+    (helm3d_residual_256cubed_matmul, 8.62 ms for 3*8*256^4 flops =
+    ~12 TF/s effective at these skinny-GEMM shapes). Per device at
+    512^3 / d: all three axis GEMMs split evenly.
+
+    Comm per apply:
+      transpose: 2 all_to_alls moving (d-1)/d of the LOCAL complex64
+        shard each way;
+      scatter: one psum_scatter moving (d-1)/d of the FULL field.
+    """
+    extras = json.load(open(os.path.join(ROOT, "R2_TPU_EXTRAS.json")))
+    ms256 = extras["helm3d_residual_256cubed_matmul"]["ms_per_apply"]
+    rate = 3 * 8 * 256**4 / (ms256 * 1e-3)  # effective flop/s
+    full_bytes = n_global**3 * 8  # complex64 field
+    flops = 3 * 8 * n_global**4
+    rows = {}
+    for d in devices:
+        t_c = flops / d / rate
+        local = full_bytes / d
+        t_tr = 2 * (local * (d - 1) / d / ICI_BW + (d - 1) * ICI_LAT)
+        t_sc = full_bytes * (d - 1) / d / ICI_BW + (d - 1) * ICI_LAT
+        rows[d] = {
+            "t_compute_ms": round(t_c * 1e3, 2),
+            "transpose": {
+                "bytes_per_apply": int(2 * local * (d - 1) / d),
+                "t_comm_ms": round(t_tr * 1e3, 2),
+                "efficiency": round(t_c / (t_c + t_tr), 4),
+            },
+            "scatter": {
+                "bytes_per_apply": int(full_bytes * (d - 1) / d),
+                "t_comm_ms": round(t_sc * 1e3, 2),
+                "efficiency": round(t_c / (t_c + t_sc), 4),
+            },
+        }
+    return rows
+
+
 def dp_train_model(params=140320, step_ms=None, hosts=2):
     """DP gradient all-reduce per train step; 2-host DCN case."""
     if step_ms is None:
@@ -126,6 +168,7 @@ def main():
         ),
         "halo_stencil_1024sq_per_device": halo_model(),
         "slab_fft_1024sq_per_device": dfft_model(),
+        "slab3d_512cubed_global": slab3d_model(),
         "dp_training_2host": dp_train_model(),
     }
     path = os.path.join(ROOT, "SCALING_MODEL.json")
