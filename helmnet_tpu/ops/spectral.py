@@ -79,7 +79,11 @@ class SpectralPML(NamedTuple):
     constructed on-device with lax.complex where needed.
     """
 
-    # dense per-axis operators, split re/im, float32
+    # dense per-axis operators, split re/im, float32. Optional: built with
+    # make_operator(dense=False) these are [0, 0] placeholders — at very
+    # large grids (8192^2: 256 MB per matrix) the dense tables exceed what
+    # the remote-compile path will accept as closure constants and waste
+    # HBM the fft mode never reads.
     ay_r: jax.Array  # [H, H]
     ay_i: jax.Array
     ax_r: jax.Array  # [W, W]
@@ -96,11 +100,15 @@ class SpectralPML(NamedTuple):
 
     @property
     def height(self) -> int:
-        return self.ay_r.shape[0]
+        return self.ky.shape[0]
 
     @property
     def width(self) -> int:
-        return self.ax_r.shape[0]
+        return self.kx.shape[0]
+
+    @property
+    def has_dense(self) -> bool:
+        return self.ay_r.size > 0
 
 
 def make_operator(
@@ -110,19 +118,33 @@ def make_operator(
     sigma_max: float,
     k0: float,
     dtype=jnp.float32,
+    dense: bool = True,
 ) -> SpectralPML:
-    """Build the operator arrays for an HxW grid (numpy f64 precompute)."""
-    Ax = axis_operator(width, pml_size, sigma_max, k0)
-    Ay = axis_operator(height, pml_size, sigma_max, k0)
+    """Build the operator arrays for an HxW grid (numpy f64 precompute).
+
+    dense=False skips the [N, N] per-axis matmul tables (fft mode only):
+    at 8192^2 the four dense tables are ~1 GB, which both wastes HBM and
+    overflows remote-compile request limits when an operator ends up as a
+    jit closure constant.
+    """
+    if dense:
+        Ax = axis_operator(width, pml_size, sigma_max, k0)
+        Ay = axis_operator(height, pml_size, sigma_max, k0)
+        dense_tables = dict(
+            ay_r=jnp.asarray(Ay.real, dtype),
+            ay_i=jnp.asarray(Ay.imag, dtype),
+            ax_r=jnp.asarray(Ax.real, dtype),
+            ax_i=jnp.asarray(Ax.imag, dtype),
+        )
+    else:
+        empty = jnp.zeros((0, 0), dtype)
+        dense_tables = dict(ay_r=empty, ay_i=empty, ax_r=empty, ax_i=empty)
     ax1d, bx1d = pml_coefficients_1d(width, pml_size, sigma_max, k0)
     ay1d, by1d = pml_coefficients_1d(height, pml_size, sigma_max, k0)
     sx, sy = sigma_maps(height, width, pml_size, sigma_max)
     pair = lambda c: jnp.asarray(np.stack([c.real, c.imag], -1), dtype)
     return SpectralPML(
-        ay_r=jnp.asarray(Ay.real, dtype),
-        ay_i=jnp.asarray(Ay.imag, dtype),
-        ax_r=jnp.asarray(Ax.real, dtype),
-        ax_i=jnp.asarray(Ax.imag, dtype),
+        **dense_tables,
         kx=jnp.asarray(wavenumbers(width), dtype),
         ky=jnp.asarray(wavenumbers(height), dtype),
         ax1d=pair(ax1d),
@@ -204,8 +226,16 @@ def resolve_mode(mode: str, height: int, width: int) -> str:
 
 
 def laplacian(op: SpectralPML, u: jax.Array, mode: str = "matmul") -> jax.Array:
+    if mode == "auto" and not op.has_dense:
+        mode = "fft"  # a dense-free operator only carries the fft tables
     mode = resolve_mode(mode, u.shape[-3], u.shape[-2])
     if mode == "matmul":
+        if not op.has_dense:
+            raise ValueError(
+                "operator was built with make_operator(dense=False); "
+                "matmul mode needs the dense per-axis tables — rebuild with "
+                "dense=True or use mode='fft'"
+            )
         return laplacian_matmul(op, u)
     elif mode == "fft":
         return laplacian_fft(op, u)

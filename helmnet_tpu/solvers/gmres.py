@@ -122,7 +122,7 @@ def gmres_restarted(
 # ---------------------------------------------------------------------------
 
 
-def make_helmholtz_matvec(op, k_sq: jax.Array, mode: str = "matmul"):
+def make_helmholtz_matvec(op, k_sq: jax.Array, mode: str = "auto"):
     """Complex matvec u -> L u + k^2 u on [H, W] complex grids.
 
     `op` may be the spectral operator (SpectralPML; `mode` selects
@@ -146,7 +146,7 @@ def _solve_helmholtz_impl(
     k_sq: jax.Array,
     source: jax.Array,
     *,
-    mode: str = "matmul",
+    mode: str = "auto",
     restart: int = 20,
     max_restarts: int = 50,
     tol: float = 1e-10,
@@ -226,7 +226,7 @@ def solve_helmholtz_checked(
     k_sq: jax.Array,
     source: jax.Array,
     *,
-    mode: str = "matmul",
+    mode: str = "auto",
     restart: int = 20,
     max_restarts: int = 50,
     tol: float = 1e-10,

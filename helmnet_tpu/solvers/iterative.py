@@ -237,8 +237,16 @@ class IterativeSolver:
         key = (height, width)
         if key not in self._op_cache:
             g = self.cfg.geometry
+            # skip the dense [N, N] matmul tables when the configured mode
+            # resolves to fft at this size — at 8192^2 they are ~1 GB of
+            # HBM the rollout never reads (and they overflow remote-compile
+            # requests if an operator is ever closed over).
+            from ..ops.spectral import resolve_mode
+
+            dense = resolve_mode(self.cfg.operator_mode, height, width) != "fft"
             self._op_cache[key] = make_operator(
-                height, width, g.pml_size, g.sigma_max, self.cfg.k0
+                height, width, g.pml_size, g.sigma_max, self.cfg.k0,
+                dense=dense,
             )
         return self._op_cache[key]
 

@@ -107,7 +107,7 @@ def solve_helmholtz_refined(
     inner_max_restarts: int = 20,
     inner_tol: float = 1e-7,
     precond: str = "shifted_laplace",
-    mode: str = "matmul",
+    mode: str = "auto",
 ):
     """Solve (L + k^2) u = s to `tol` RELATIVE residual in float64.
 

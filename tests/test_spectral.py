@@ -120,6 +120,30 @@ class TestLaplacian:
         expected = np.asarray(spectral.laplacian(op, u)) + k_sq[..., None] * u - src
         np.testing.assert_allclose(np.asarray(r), expected, atol=1e-5)
 
+    def test_dense_free_operator(self, op):
+        # make_operator(dense=False) must serve the fft path exactly (the
+        # 8192^2 capability path: the dense tables are ~1 GB there and
+        # overflow remote-compile requests when closed over), while matmul
+        # mode fails loudly and a CSLP-preconditioned solve still works.
+        from helmnet_tpu.solvers.gmres import solve_helmholtz
+
+        lean = spectral.make_operator(48, 48, 8, 2.0, 1.0, dense=False)
+        assert not lean.has_dense and (lean.height, lean.width) == (48, 48)
+        rng = np.random.default_rng(4)
+        u = rng.standard_normal((2, 48, 48, 2)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(spectral.laplacian(lean, u, "fft")),
+            np.asarray(spectral.laplacian(op, u, "fft")),
+        )
+        with pytest.raises(ValueError, match="dense=False"):
+            spectral.laplacian(lean, u, "matmul")
+        k_sq = np.full((48, 48), 1.0, np.float32)
+        src = rng.standard_normal((48, 48, 2)).astype(np.float32)
+        res = solve_helmholtz(lean, k_sq, src, mode="fft", restart=20,
+                              max_restarts=30, tol=1e-5,
+                              precond="shifted_laplace")
+        assert float(res.residual_norms[-1]) < 1e-4 * np.linalg.norm(src)
+
     def test_rectangular_grid(self):
         # capability beyond the square-only reference
         op = spectral.make_operator(32, 64, 4, 2.0, 1.0)

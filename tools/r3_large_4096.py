@@ -54,10 +54,17 @@ def chunked_gmres(op, k_sq, src, *, mode, precond, restart, n_cycles,
     from helmnet_tpu.ops.spectral import helmholtz_residual
     from helmnet_tpu.solvers.gmres import solve_helmholtz
 
+    # op/k_sq/src enter as ARGUMENTS (not closure constants): closed-over
+    # arrays are baked into the compile request, which the remote-compile
+    # endpoint rejects at very large grids (HTTP 413 at 8192^2).
     @jax.jit
-    def neg_residual(u):
-        r = helmholtz_residual(op, u[None], k_sq[None], src[None], mode=mode)[0]
+    def _neg_residual(op_, k_sq_, src_, u):
+        r = helmholtz_residual(op_, u[None], k_sq_[None], src_[None],
+                               mode=mode)[0]
         return -r, jnp.sqrt(jnp.mean(r**2))
+
+    def neg_residual(u):
+        return _neg_residual(op, k_sq, src, u)
 
     src_norm = float(np.asarray(jnp.sqrt(jnp.mean(src**2))))
     t0 = time.time()
@@ -128,17 +135,23 @@ def probe_8192():
 
     cfg = Config()
     n, omega = 8192, 1.0  # ~1300 wavelengths, 0.5 GB per complex field
+    # dense=False: the four [8192, 8192] matmul tables are ~1 GB — they
+    # overflow the remote-compile request (HTTP 413) and the fft path
+    # never reads them.
     op = make_operator(n, n, cfg.geometry.pml_size, cfg.geometry.sigma_max,
-                       omega)
+                       omega, dense=False)
     k_sq = jnp.full((n, n), omega**2)
     src = jnp.asarray(point_source_map(n, n, (n - 40, n // 2), 10.0, 0.0,
                                        omega))
 
     @jax.jit
-    def resid(u):
-        r = helmholtz_residual(op, u[None], k_sq[None], src[None],
+    def _resid(op_, k_sq_, src_, u):
+        r = helmholtz_residual(op_, u[None], k_sq_[None], src_[None],
                                mode="fft")[0]
         return r, jnp.sqrt(jnp.mean(r**2))
+
+    def resid(u):
+        return _resid(op, k_sq, src, u)
 
     u0 = jnp.zeros((n, n, 2), jnp.float32)
     r, rn = resid(u0)  # compile + correctness
