@@ -66,6 +66,7 @@ from .solvers.deflation import (  # noqa: F401
     solve_helmholtz_deflated,
 )
 from .solvers.hybrid import solve_hybrid  # noqa: F401
+from .serve import ServeConfig, SolverService  # noqa: F401
 from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
 from .solvers.iterative3d import IterativeSolver3D, rollout3d  # noqa: F401
 from .solvers.timedomain import solve_cw  # noqa: F401
@@ -125,6 +126,8 @@ __all__ = [
     "solve_cw",
     "IterativeSolver",
     "IterativeSolver3D",
+    "ServeConfig",
+    "SolverService",
     "rollout",
     "rollout3d",
     "Trainer",

@@ -165,21 +165,26 @@ def probe_8192():
     gps = n * n / dt / 1e6
     print(f"  8192^2 fft residual: {dt*1e3:.1f} ms/apply = {gps:.0f} Mgp/s",
           flush=True)
-
-    cyc = int(os.environ.get("G8192_CYCLES", "6"))
-    solve = chunked_gmres(
-        op, k_sq, src, mode="fft", precond="shifted_laplace", restart=8,
-        n_cycles=cyc, budget_s=600,
-    )
     out = {
         "wavelengths_across": round(n / (2 * np.pi / omega), 1),
         "fft_residual_ms": round(dt * 1e3, 2),
         "fft_residual_mgps": round(gps, 1),
-        "cslp_cycles": solve,
         "note": "capability probe: 67M-gridpoint problem resident and "
                 "descending on one 16 GB chip; O(k)~1300-wavelength "
                 "convergence is a multi-hour run, not attempted",
     }
+    record("helm_8192_capability", out)  # throughput survives a solve OOM
+
+    cyc = int(os.environ.get("G8192_CYCLES", "6"))
+    # restart=8 OOMs: the [restart+1, 67M] complex Arnoldi basis alone is
+    # 4.8 GB and the CSLP FFT temporaries stack on top. restart=4 fits.
+    rst = int(os.environ.get("G8192_RESTART", "4"))
+    solve = chunked_gmres(
+        op, k_sq, src, mode="fft", precond="shifted_laplace", restart=rst,
+        n_cycles=cyc, budget_s=float(os.environ.get("G8192_BUDGET_S", "600")),
+    )
+    out["cslp_cycles"] = solve
+    out["cslp_restart"] = rst
     record("helm_8192_capability", out)
 
 
