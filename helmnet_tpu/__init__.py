@@ -60,7 +60,10 @@ from .solvers.helm3d import (  # noqa: F401
     solve_helmholtz3d_batch,
 )
 from .solvers.fgmres import solve_fgmres, solve_fgmres_learned  # noqa: F401
-from .solvers.twolevel import solve_fgmres_two_level  # noqa: F401
+from .solvers.twolevel import (  # noqa: F401
+    solve_fgmres_multilevel,
+    solve_fgmres_two_level,
+)
 from .solvers.deflation import (  # noqa: F401
     gmres_deflated,
     solve_helmholtz_deflated,
@@ -119,6 +122,7 @@ __all__ = [
     "solve_helmholtz3d_batch",
     "solve_fgmres",
     "solve_fgmres_learned",
+    "solve_fgmres_multilevel",
     "solve_fgmres_two_level",
     "gmres_deflated",
     "solve_helmholtz_deflated",
