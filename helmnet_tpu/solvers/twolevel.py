@@ -168,7 +168,8 @@ def make_two_level_preconditioner(
         raise ValueError(f"unknown smoother '{smoother}'")
 
     op_c, k_sq_c_idx = make_coarse_level(
-        k_sq, k0=k0, pml_size=pml_size, sigma_max=sigma_max, factor=factor
+        k_sq, k0=k0, pml_size=pml_size, sigma_max=sigma_max, factor=factor,
+        mode=mode,
     )
     mv_c = make_helmholtz_matvec(op_c, k_sq_c_idx, mode)
     minv_c = make_shifted_laplace_inverse(op_c, k_sq_c_idx, shift)
