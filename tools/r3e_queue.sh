@@ -22,4 +22,13 @@ timeout 3600 python tools/eval_trained.py --tag tpu_r3d --data-tag tpu_r2c \
     --header "Training run tpu_r3d (TPU v5e) — combined-curriculum flagship: warm start from tpu_r3a best (epoch 950), 2.3 h at p_random_source=0.5 / p_extended_source=0.15, lr reset to 1e-4 with plateau decay, 25% line-source validation mix. Goal: one checkpoint matching tpu_r2c on the standard protocols while keeping tpu_r3a's 0/32 extended-source robustness (TRAINING_r3a.md measured the r2c/r3a split)." \
     > logs/eval_r3d.log 2>&1
 
+# Serving-layer throughput/latency on the chip (compiles once, then
+# steady-state waves through the micro-batching path).
+timeout 2400 python tools/r3_serve_tpu.py > logs/serve_tpu.log 2>&1
+
+# 8192^2 two-level FGMRES — the depth-2 hierarchy the multilevel
+# analysis prescribes at this discretization (restart-4 CSLP plateaued).
+TL8192_BUDGET_S=3000 timeout 4200 python tools/r3_8192_twolevel.py \
+    > logs/r3_8192_twolevel.log 2>&1
+
 echo QUEUE-R3E DONE
