@@ -64,6 +64,7 @@ from .solvers.twolevel import (  # noqa: F401
     solve_fgmres_multilevel,
     solve_fgmres_two_level,
 )
+from .solvers.twolevel3d import solve_fgmres_two_level3d  # noqa: F401
 from .solvers.deflation import (  # noqa: F401
     gmres_deflated,
     solve_helmholtz_deflated,
@@ -124,6 +125,7 @@ __all__ = [
     "solve_fgmres_learned",
     "solve_fgmres_multilevel",
     "solve_fgmres_two_level",
+    "solve_fgmres_two_level3d",
     "gmres_deflated",
     "solve_helmholtz_deflated",
     "solve_hybrid",
