@@ -31,4 +31,8 @@ timeout 2400 python tools/r3_serve_tpu.py > logs/serve_tpu.log 2>&1
 TL8192_BUDGET_S=3000 timeout 4200 python tools/r3_8192_twolevel.py \
     > logs/r3_8192_twolevel.log 2>&1
 
+# Heterogeneous 256^3: 3D two-level vs CSLP to a common tolerance.
+timeout 2400 python tools/r3_3d_twolevel_tpu.py \
+    > logs/r3_3d_twolevel.log 2>&1
+
 echo QUEUE-R3E DONE
