@@ -86,6 +86,33 @@ def make_coarse_level3d(
     return op_c, (factor * factor) * k_sq_c
 
 
+def make_learned_preconditioner3d(params, op: SpectralPML3D, sos_map,
+                                  *, cfg, iterations: int = 20):
+    """complex [D, H, W] -> complex [D, H, W] approximate A^-1 v.
+
+    3D analog of fgmres.make_learned_preconditioner: `iterations` learned
+    HybridNet3D steps on A z = v from zero wavefield and FRESH hidden
+    states, with v amplitude-normalized to the training source scale (the
+    solve is linear, the network is not); returns the best iterate,
+    un-normalized."""
+    from .iterative3d import rollout3d
+
+    sos = jnp.asarray(sos_map, jnp.float32)[None]
+
+    def apply(v: jax.Array) -> jax.Array:
+        src = jnp.stack([v.real, v.imag], axis=-1)[None]
+        amp = jnp.max(jnp.abs(v))
+        scale = jnp.where(amp > 0, cfg.source.amplitude / amp, 1.0)
+        out = rollout3d(
+            params, op, src * scale.astype(src.dtype), sos, cfg=cfg,
+            num_iterations=iterations, collect=("rmse", "best"),
+        )
+        w = out["best_wavefield"][0] / scale
+        return jax.lax.complex(w[..., 0], w[..., 1])
+
+    return apply
+
+
 def make_two_level_preconditioner3d(
     op: SpectralPML3D,
     k_sq: jax.Array,
@@ -97,17 +124,31 @@ def make_two_level_preconditioner3d(
     factor: int = 2,
     shift: Tuple[float, float] = (1.0, 0.5),
     smoother: str = "cslp",
+    params=None,
+    cfg=None,
+    smoother_iterations: int = 20,
     coarse_restart: int = 16,
     coarse_max_restarts: int = 2,
 ) -> Callable[[jax.Array], jax.Array]:
     """Two-grid preconditioner apply: complex [D, H, W] -> same shape.
     One multiplicative cycle: z1 = S(v); r = v - A z1;
-    z = z1 + P A_c^{-approx} R r."""
+    z = z1 + P A_c^{-approx} R r.
+
+    smoother='cslp' uses the FFT shifted-Laplace inverse; 'learned' uses
+    `smoother_iterations` fresh-state HybridNet3D steps (requires
+    params+cfg, see make_learned_preconditioner3d)."""
     shape = k_sq.shape
     dc, hc, wc = (s // factor for s in shape)
     mv_f = make_helmholtz_matvec3d(op, k_sq, mode)
 
-    if smoother == "cslp":
+    if smoother == "learned":
+        if params is None or cfg is None:
+            raise ValueError("smoother='learned' requires params and cfg")
+        smooth = make_learned_preconditioner3d(
+            params, op, jnp.sqrt((cfg.source.omega ** 2) / k_sq), cfg=cfg,
+            iterations=smoother_iterations,
+        )
+    elif smoother == "cslp":
         smooth = make_shifted_laplace_inverse3d(op, k_sq, shift)
     elif smoother == "none":
         smooth = None
@@ -156,6 +197,9 @@ def solve_fgmres_two_level3d(
     mode: str = "matmul",
     factor: int = 2,
     smoother: str = "cslp",
+    params=None,
+    cfg=None,
+    smoother_iterations: int = 20,
     shift: Tuple[float, float] = (1.0, 0.5),
     coarse_restart: int = 16,
     coarse_max_restarts: int = 2,
@@ -179,6 +223,7 @@ def solve_fgmres_two_level3d(
     precond_field = make_two_level_preconditioner3d(
         op, k_sq, k0=k0, pml_size=pml_size, sigma_max=sigma_max, mode=mode,
         factor=factor, shift=shift, smoother=smoother,
+        params=params, cfg=cfg, smoother_iterations=smoother_iterations,
         coarse_restart=coarse_restart,
         coarse_max_restarts=coarse_max_restarts,
     )

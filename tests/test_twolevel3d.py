@@ -96,6 +96,65 @@ class TestTwoLevel3D:
         two_rel = float(np.asarray(two.residual_norms)[-1])
         assert two_rel < cslp_rel / 2, (two_rel, cslp_rel)
 
+    def test_learned_smoother_composition(self):
+        """3D analog of the 2D learned-smoother two-level composition:
+        trained HybridNet3D steps as the smoother + spectral coarse
+        correction. Uses the committed 3D checkpoint at its native 48^3."""
+        import dataclasses
+        import os
+
+        import jax.numpy as jnp
+        import pytest
+
+        ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                            "tpu3d_a", "params3d_ep80.npz")
+        if not os.path.exists(ckpt):
+            pytest.skip("trained 3D checkpoint not present")
+
+        from helmnet_tpu.core.config import Config
+        from helmnet_tpu.train.loop3d import load_params3d_npz
+
+        cfg = Config()
+        cfg = cfg.replace(
+            geometry=dataclasses.replace(cfg.geometry, domain_size=48),
+            model=dataclasses.replace(
+                cfg.model, depth=3, state_depth=3, features=16,
+                in_channels=7,
+            ),
+        )
+        params = load_params3d_npz(ckpt, cfg)
+        n = 48
+        op = make_operator3d(n, n, n, cfg.geometry.pml_size,
+                             cfg.geometry.sigma_max, cfg.source.omega)
+        rng = np.random.default_rng(5)
+        sos = np.ones((n, n, n), np.float32)
+        sos[16:33, 12:39, 12:39] = 1.0 + rng.random(
+            (17, 27, 27)).astype(np.float32)
+        k_sq = jnp.asarray((cfg.source.omega / sos) ** 2)
+        src = jnp.asarray(point_source_map3d(
+            n, n, n, (n - 12, n // 2, n // 2), cfg.source.amplitude, 0.0,
+            cfg.source.omega))
+
+        res = solve_fgmres_two_level3d(
+            op, src, k_sq, k0=cfg.source.omega,
+            pml_size=cfg.geometry.pml_size,
+            sigma_max=cfg.geometry.sigma_max,
+            smoother="learned", params=params, cfg=cfg,
+            smoother_iterations=6, restart=4, max_restarts=2,
+            coarse_restart=12, coarse_max_restarts=1, tol=1e-5,
+        )
+        norms = np.asarray(res.residual_norms)
+        assert norms[-1] < norms[0] / 40, norms
+        assert np.all(np.diff(norms) < 0), norms
+
+    def test_learned_smoother_requires_params_and_cfg(self):
+        op, k_sq, src = _problem(n=32)
+        with pytest.raises(ValueError, match="params and cfg"):
+            solve_fgmres_two_level3d(
+                op, src, k_sq, k0=K0, pml_size=PML, sigma_max=SIGMA,
+                smoother="learned", restart=2, max_restarts=1,
+            )
+
     def test_host_arnoldi_matches_device_cycle(self):
         op, k_sq, src = _problem(n=32)
         kw = dict(k0=K0, pml_size=PML, sigma_max=SIGMA, restart=6,
