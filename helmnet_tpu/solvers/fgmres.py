@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
+from ..core.hoist import LazyHoistedJit
 from .gmres import make_helmholtz_matvec
 from .iterative import rollout
 
@@ -123,7 +124,11 @@ def _make_host_arnoldi_cycle(mv, precond, restart: int):
     the on-device f32 path. All host<->device traffic is f32 split re/im
     (complex transfers are unimplemented on axon)."""
 
-    @jax.jit
+    # alloc/step close over mv/precond, whose captures (k^2 maps, coarse
+    # levels) are huge at large grids — hoist them to jit ARGUMENTS
+    # (core/hoist.py) or the remote-compile request overflows (HTTP 413
+    # at 8192^2, where k^2 alone is 268 MB of baked constants).
+    @LazyHoistedJit
     def alloc(bv, x):
         r0 = bv - mv(x)
         beta = jnp.linalg.norm(r0)
@@ -134,7 +139,7 @@ def _make_host_arnoldi_cycle(mv, precond, restart: int):
         Z = jnp.zeros((restart, bv.shape[0]), bv.dtype)
         return V, Z, beta.real
 
-    @jax.jit
+    @LazyHoistedJit
     def step(V, Z, j):
         z = precond(V[j])
         w = mv(z)
@@ -222,11 +227,11 @@ def solve_fgmres(
     if host_arnoldi:
         cycle = _make_host_arnoldi_cycle(mv, precond, restart)
     else:
-        cycle = jax.jit(
+        cycle = LazyHoistedJit(
             functools.partial(_fgmres_cycle, mv, precond, restart=restart)
         )
 
-    @jax.jit
+    @LazyHoistedJit
     def true_relres(bv, x):
         r = bv - mv(x)
         return jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(bv), 1e-30)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.hoist import LazyHoistedJit
 from ..ops.spectral3d import SpectralPML3D, make_operator3d
 from .fgmres import FGMRESResult, _fgmres_cycle, _make_host_arnoldi_cycle
 from .gmres import gmres_restarted
@@ -235,11 +236,11 @@ def solve_fgmres_two_level3d(
     else:
         import functools
 
-        cycle = jax.jit(
+        cycle = LazyHoistedJit(
             functools.partial(_fgmres_cycle, mv, precond, restart=restart)
         )
 
-    @jax.jit
+    @LazyHoistedJit
     def true_relres(bv, x):
         r = bv - mv(x)
         return jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(bv), 1e-30)
