@@ -41,7 +41,7 @@ def _to_device(c):
     return jnp.asarray(c)
 
 
-def hoisted_jit(fun, *example_args):
+def hoisted_jit(fun, *example_args, donate_argnums=()):
     """jit `fun` with its closed-over arrays passed as arguments instead
     of baked into the executable.
 
@@ -49,7 +49,12 @@ def hoisted_jit(fun, *example_args):
     called with (tracing is abstract — nothing is materialized). Returns
     a callable with `fun`'s original signature; the hoisted constants
     are device-put once and appended automatically on every call
-    (zero-copy for arrays already on device)."""
+    (zero-copy for arrays already on device).
+
+    donate_argnums donates the corresponding TOP-LEVEL arguments of
+    `fun` (flat-leaf positions are resolved internally; hoisted constants
+    are never donated) — essential for multi-GB carries like Krylov
+    bases, which would otherwise be double-buffered across the call."""
     flat, in_tree = tree_flatten(example_args)
     n_args = len(flat)
 
@@ -65,7 +70,18 @@ def hoisted_jit(fun, *example_args):
         args, cs = args_and_consts[:n_args], args_and_consts[n_args:]
         return tree_unflatten(out_tree, eval_jaxpr(jaxpr, cs, *args))
 
-    jitted = jax.jit(converted)
+    if donate_argnums:
+        # map top-level arg indices of `fun` to flat leaf positions
+        donate_flat = []
+        pos = 0
+        for i, a in enumerate(example_args):
+            leaves = len(tree_flatten(a)[0])
+            if i in donate_argnums:
+                donate_flat.extend(range(pos, pos + leaves))
+            pos += leaves
+        jitted = jax.jit(converted, donate_argnums=tuple(donate_flat))
+    else:
+        jitted = jax.jit(converted)
 
     def call(*args):
         flat_args, tree2 = tree_flatten(args)
@@ -84,11 +100,13 @@ class LazyHoistedJit:
     callers create one instance per (fun, shape) context — exactly the
     lifetime of the closures it wraps."""
 
-    def __init__(self, fun):
+    def __init__(self, fun, donate_argnums=()):
         self._fun = fun
+        self._donate = tuple(donate_argnums)
         self._call = None
 
     def __call__(self, *args):
         if self._call is None:
-            self._call = hoisted_jit(self._fun, *args)
+            self._call = hoisted_jit(self._fun, *args,
+                                     donate_argnums=self._donate)
         return self._call(*args)

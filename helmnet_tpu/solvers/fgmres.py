@@ -139,7 +139,10 @@ def _make_host_arnoldi_cycle(mv, precond, restart: int):
         Z = jnp.zeros((restart, bv.shape[0]), bv.dtype)
         return V, Z, beta.real
 
-    @LazyHoistedJit
+    # V/Z are donated: at 8192^2 with restart 4 the two bases are 4.8 GB,
+    # and double-buffering them across the in-place .at updates OOMs the
+    # 16 GB chip (observed on the first post-413-fix attempt).
+    @functools.partial(LazyHoistedJit, donate_argnums=(0, 1))
     def step(V, Z, j):
         z = precond(V[j])
         w = mv(z)
@@ -160,7 +163,7 @@ def _make_host_arnoldi_cycle(mv, precond, restart: int):
         Z = Z.at[j].set(z)
         return V, Z, jnp.stack([hcol.real, hcol.imag]).astype(jnp.float32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def update(x, Z, y_re, y_im):
         y = jax.lax.complex(y_re, y_im).astype(Z.dtype)
         return x + Z.T @ y
@@ -228,7 +231,8 @@ def solve_fgmres(
         cycle = _make_host_arnoldi_cycle(mv, precond, restart)
     else:
         cycle = LazyHoistedJit(
-            functools.partial(_fgmres_cycle, mv, precond, restart=restart)
+            functools.partial(_fgmres_cycle, mv, precond, restart=restart),
+            donate_argnums=(1,),  # x0 is dead after each cycle
         )
 
     @LazyHoistedJit

@@ -237,7 +237,8 @@ def solve_fgmres_two_level3d(
         import functools
 
         cycle = LazyHoistedJit(
-            functools.partial(_fgmres_cycle, mv, precond, restart=restart)
+            functools.partial(_fgmres_cycle, mv, precond, restart=restart),
+            donate_argnums=(1,),  # x0 is dead after each cycle
         )
 
     @LazyHoistedJit

@@ -78,6 +78,24 @@ class TestHoistedJit:
             np.asarray(hoisted_jit(f, x)(x)), 64.0, rtol=1e-6
         )
 
+    def test_donate_argnums_maps_to_flat_positions_and_matches(self):
+        """Donation must target fun's top-level args (never the hoisted
+        constants appended after them) and preserve results."""
+        scale = jnp.asarray(np.full((16, 16), 2.0, np.float32))
+
+        def f(carry, delta):
+            return carry * scale + delta
+
+        c = jnp.ones((16, 16), jnp.float32)
+        d = jnp.full((16, 16), 3.0, jnp.float32)
+        h = hoisted_jit(f, c, d, donate_argnums=(0,))
+        got = h(c, d)
+        want = np.ones((16, 16), np.float32) * 2.0 + 3.0
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+        # carry was donated; a second call with fresh buffers still works
+        got2 = h(jnp.ones((16, 16), jnp.float32), d)
+        np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-6)
+
     def test_lazy_converts_once_and_rejects_tree_mismatch(self):
         calls = {"n": 0}
 
