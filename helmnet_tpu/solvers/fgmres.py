@@ -148,13 +148,17 @@ def _make_host_arnoldi_cycle(mv, precond, restart: int):
         w = mv(z)
         # classical Gram-Schmidt with one reorthogonalization (CGS2):
         # two [m+1, n] matmuls per step ride the MXU and match MGS
-        # stability in practice
-        mask = (jnp.arange(V.shape[0]) <= j)[:, None]
-        Vm = jnp.where(mask, V, 0)
-        h1 = Vm.conj() @ w
-        w = w - Vm.T @ h1
-        h2 = Vm.conj() @ w
-        w = w - Vm.T @ h2
+        # stability in practice. Project against the FULL basis and mask
+        # the [m+1] coefficient vector instead of masking V — a masked
+        # copy of V doubles the basis footprint (2.7 GB at 8192^2,
+        # restart 4: the OOM that killed the second 8192^2 attempt), and
+        # rows beyond j are exactly zero anyway (alloc zero-fills; each
+        # step writes only row j+1).
+        mask = jnp.arange(V.shape[0]) <= j
+        h1 = jnp.where(mask, V.conj() @ w, 0)
+        w = w - V.T @ h1
+        h2 = jnp.where(mask, V.conj() @ w, 0)
+        w = w - V.T @ h2
         h = h1 + h2
         hn = jnp.linalg.norm(w)
         safe = jnp.where(hn > 0, hn, 1.0)
