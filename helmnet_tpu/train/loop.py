@@ -45,6 +45,34 @@ from ..solvers.iterative import (
 from .replay import ExperienceBatch, ReplayBuffer
 
 
+def resolve_epoch_cap(
+    start_epoch: int,
+    max_epochs: int,
+    *,
+    warm_started: bool = False,
+    epoch_budget: Optional[int] = None,
+) -> int:
+    """Absolute epoch at which a run driver should stop.
+
+    Resumes of an interrupted run keep the ABSOLUTE `max_epochs` cap (the
+    run simply continues toward its original budget). A warm start
+    (--init-from) is a NEW run that inherits the source checkpoint's epoch
+    counter only for curriculum/bookkeeping continuity — so its cap is a
+    BUDGET measured from the restored counter. An explicit `epoch_budget`
+    always wins (needed to RESUME a warm-started run, where the driver can
+    no longer tell it was warm-started).
+
+    Lesson from the tpu_r3d negative result (TRAINING_r3d.md): warm-starting
+    from r3a restored epoch≈950 under the absolute 1000 cap, truncating the
+    planned re-anneal to ~50 high-lr epochs.
+    """
+    if epoch_budget is not None:
+        return start_epoch + epoch_budget
+    if warm_started:
+        return start_epoch + max_epochs
+    return max_epochs
+
+
 def shard_experience(mesh, batch):
     """Domain-partitioned placement of an ExperienceBatch on the
     (data, y, x) mesh: field arrays [B, H, W, C] shard over

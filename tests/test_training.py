@@ -70,6 +70,38 @@ class TestScheduler:
         assert s.lr == 1e-4  # floored at min_lr
 
 
+class TestEpochCap:
+    """resolve_epoch_cap — the tpu_r3d lesson (TRAINING_r3d.md): a warm
+    start restores the source tag's epoch counter, so an absolute cap
+    silently truncates the new run."""
+
+    def test_fresh_run_uses_absolute_cap(self):
+        from helmnet_tpu.train.loop import resolve_epoch_cap
+
+        assert resolve_epoch_cap(0, 1000) == 1000
+
+    def test_resume_keeps_absolute_cap(self):
+        from helmnet_tpu.train.loop import resolve_epoch_cap
+
+        assert resolve_epoch_cap(400, 1000) == 1000
+
+    def test_warm_start_gets_full_budget(self):
+        from helmnet_tpu.train.loop import resolve_epoch_cap
+
+        # r3d scenario: restored at epoch 950 — a new run must NOT be
+        # capped to 50 epochs
+        assert resolve_epoch_cap(950, 1000, warm_started=True) == 1950
+
+    def test_explicit_budget_wins(self):
+        from helmnet_tpu.train.loop import resolve_epoch_cap
+
+        assert resolve_epoch_cap(950, 1000, epoch_budget=300) == 1250
+        assert (
+            resolve_epoch_cap(950, 1000, warm_started=True, epoch_budget=300)
+            == 1250
+        )
+
+
 class TestDataset:
     def test_ellipse_distribution(self):
         maps = make_dataset(8, imsize=96, seed=0)

@@ -66,6 +66,8 @@ def main():
     c_maxr = int(os.environ.get("TL8192_COARSE_MAXR", "2"))
     tol = float(os.environ.get("TL8192_TOL", "1e-4"))
 
+    key = os.environ.get("TL8192_KEY", "helm_8192_twolevel")
+
     t0 = time.time()
     traj, iters = [], 0
     x0 = None
@@ -84,23 +86,23 @@ def main():
         x0 = res.wavefield
         print(f"  outer {iters}: rel {traj[-1]:.3e} "
               f"({time.time() - t0:.0f}s)", flush=True)
+        # record every cycle: a timeout kill must not lose the trajectory
+        record(key, {
+            "wavelengths_across": round(n / (2 * np.pi / omega), 1),
+            "rel_residual": traj[-1],
+            "outer_iterations": iters,
+            "seconds": round(time.time() - t0, 1),
+            "trajectory_every_cycle": [round(v, 8) for v in traj],
+            "restart": restart,
+            "coarse": {"restart": c_restart, "max_restarts": c_maxr},
+            "converged": bool(traj[-1] < tol),
+            "note": "two-level CSLP-smoother FGMRES, host-Arnoldi (one "
+                    "dispatch per outer step), fft operators both levels, "
+                    "spectral transfer; the depth-2 hierarchy is the max "
+                    "valid at ~6.3 ppw (see make_multilevel_preconditioner)",
+        })
         if traj[-1] < tol:
             break
-
-    out = {
-        "wavelengths_across": round(n / (2 * np.pi / omega), 1),
-        "rel_residual": traj[-1],
-        "outer_iterations": iters,
-        "seconds": round(time.time() - t0, 1),
-        "trajectory_every_cycle": [round(v, 8) for v in traj],
-        "restart": restart,
-        "coarse": {"restart": c_restart, "max_restarts": c_maxr},
-        "note": "two-level CSLP-smoother FGMRES, host-Arnoldi (one "
-                "dispatch per outer step), fft operators both levels, "
-                "spectral transfer; the depth-2 hierarchy is the max "
-                "valid at ~6.3 ppw (see make_multilevel_preconditioner)",
-    }
-    record("helm_8192_twolevel", out)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--val-every", type=int, default=10)
     ap.add_argument("--val-iters", type=int, default=500)
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--epoch-budget", type=int, default=None,
+                    help="cap on epochs trained THIS RUN (absolute cap = "
+                         "restored epoch + budget); required when resuming "
+                         "a warm-started tag whose counter is near "
+                         "max_epochs (see TRAINING_r3d.md)")
     ap.add_argument("--init-from", type=str, default=None,
                     help="tag whose BEST checkpoint warm-starts params/opt "
                          "state when this tag has no checkpoint yet")
@@ -63,7 +68,7 @@ def main():
 
     from helmnet_tpu.core.config import Config
     from helmnet_tpu.data.ellipses import make_dataset
-    from helmnet_tpu.train.loop import Trainer
+    from helmnet_tpu.train.loop import Trainer, resolve_epoch_cap
 
     print("devices:", jax.devices(), flush=True)
 
@@ -107,6 +112,7 @@ def main():
         os.path.dirname(__file__), "..", "checkpoints", args.tag
     )
     trainer = Trainer(cfg, log_dir=log_dir, device_buffer=True)
+    warm_started = False
     if trainer.restore(ckpt_dir):
         print(f"resumed at epoch {trainer.epoch}  lr {trainer.scheduler.lr:.2e}",
               flush=True)
@@ -124,6 +130,7 @@ def main():
         # floor within tens of epochs — reset the plateau state
         trainer.scheduler.best = float("inf")
         trainer.scheduler.bad_epochs = 0
+        warm_started = True
         print(f"warm start from {args.init_from} best (epoch {trainer.epoch}) "
               f"lr {trainer.scheduler.lr:.2e}", flush=True)
     trainer.fill_buffer(train_maps)
@@ -131,8 +138,13 @@ def main():
         len(val_maps), extended_frac=args.val_extended_frac
     )
 
+    epoch_cap = resolve_epoch_cap(
+        trainer.epoch, cfg.training.max_epochs,
+        warm_started=warm_started, epoch_budget=args.epoch_budget,
+    )
+    print(f"epoch cap {epoch_cap} (start {trainer.epoch})", flush=True)
     deadline = time.time() + args.hours * 3600
-    while time.time() < deadline and trainer.epoch < cfg.training.max_epochs:
+    while time.time() < deadline and trainer.epoch < epoch_cap:
         stats = trainer.training_epoch(train_maps)
         print(
             f"epoch {stats['epoch']:4d}  loss {stats['train_loss_mean']:.4e}  "
