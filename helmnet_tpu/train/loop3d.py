@@ -403,6 +403,59 @@ class Trainer3D:
             self.save(directory, f"ep{self.epoch}")
         json.dump(manifest, open(mpath, "w"))
 
+    def save_state(self, directory: str) -> str:
+        """Full resume state — params + opt state + epoch/scheduler — the
+        3D analog of the 2D Trainer's orbax resume (train/loop.py:
+        Trainer.save/restore). 3D runs on the tunneled worker are the ones
+        most likely to be interrupted (long dispatches crash it); without
+        this they restarted from epoch 0 with a fresh Adam state."""
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, "state3d.npz")
+        pf, _ = jax.tree_util.tree_flatten(self.params)
+        of, _ = jax.tree_util.tree_flatten(self.opt_state)
+        arrs = {f"p{i}": np.asarray(a) for i, a in enumerate(pf)}
+        arrs.update({f"o{i}": np.asarray(a) for i, a in enumerate(of)})
+        arrs["meta"] = np.asarray(
+            [
+                self.epoch,
+                self.global_step,
+                self.scheduler.lr,
+                self.scheduler.best,
+                self.scheduler.bad_epochs,
+            ],
+            np.float64,
+        )
+        tmp = path + ".tmp.npz"  # atomic: a crash mid-write keeps the old
+        np.savez_compressed(tmp, **arrs)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, directory: str) -> bool:
+        """Resume from save_state; returns False when absent."""
+        path = os.path.join(directory, "state3d.npz")
+        if not os.path.exists(path):
+            return False
+        pf, ptree = jax.tree_util.tree_flatten(self.params)
+        of, otree = jax.tree_util.tree_flatten(self.opt_state)
+        with np.load(path) as f:
+            self.params = jax.tree_util.tree_unflatten(
+                ptree, [jnp.asarray(f[f"p{i}"]) for i in range(len(pf))]
+            )
+            self.opt_state = jax.tree_util.tree_unflatten(
+                otree,
+                [
+                    jnp.asarray(f[f"o{i}"]).astype(np.asarray(leaf).dtype)
+                    for i, leaf in enumerate(of)
+                ],
+            )
+            meta = f["meta"]
+        self.epoch = int(meta[0])
+        self.global_step = int(meta[1])
+        self.scheduler.lr = float(meta[2])
+        self.scheduler.best = float(meta[3])
+        self.scheduler.bad_epochs = int(meta[4])
+        return True
+
     def restore_best(self, directory: str) -> bool:
         mpath = os.path.join(directory, "manifest3d.json")
         if not os.path.exists(mpath):

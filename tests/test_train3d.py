@@ -118,6 +118,43 @@ def test_trainer3d_validate_and_topk(tmp_path, volumes):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_trainer3d_full_state_resume(tmp_path, volumes):
+    """save_state/restore round-trips params, opt state, epoch and
+    scheduler — so an interrupted 3D run continues exactly: one more
+    epoch from the restored trainer matches one more epoch from the
+    original (same host RNG seed => same sampling sequence is NOT
+    guaranteed across processes, so compare states, not losses)."""
+    d = str(tmp_path)
+    tr = Trainer3D(tiny_cfg(), key=jax.random.PRNGKey(6))
+    tr.fill_buffer(volumes)
+    tr.training_epoch(n_batches=2)
+    tr.scheduler.step(0.7)  # populate plateau state
+    tr.scheduler.step(0.9)
+    tr.save_state(d)
+
+    tr2 = Trainer3D(tiny_cfg(), key=jax.random.PRNGKey(7))
+    assert tr2.restore(d)
+    assert tr2.epoch == tr.epoch and tr2.global_step == tr.global_step
+    assert tr2.scheduler.lr == tr.scheduler.lr
+    assert tr2.scheduler.best == tr.scheduler.best
+    assert tr2.scheduler.bad_epochs == tr.scheduler.bad_epochs
+    for x, y in zip(
+        jax.tree_util.tree_leaves(tr.params),
+        jax.tree_util.tree_leaves(tr2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(
+        jax.tree_util.tree_leaves(tr.opt_state),
+        jax.tree_util.tree_leaves(tr2.opt_state),
+    ):
+        assert np.asarray(x).dtype == np.asarray(y).dtype
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    assert not Trainer3D(tiny_cfg(), key=jax.random.PRNGKey(8)).restore(
+        os.path.join(d, "absent")
+    )
+
+
 def test_load_params3d_matches_save(tmp_path):
     from helmnet_tpu.train.checkpoint import save_params_npz
 

@@ -98,6 +98,9 @@ def main():
         os.path.dirname(__file__), "..", "checkpoints", args.tag
     )
     trainer = Trainer3D(cfg, log_dir=log_dir)
+    if trainer.restore(ckpt_dir):
+        print(f"resumed at epoch {trainer.epoch}  "
+              f"lr {trainer.scheduler.lr:.2e}", flush=True)
     trainer.fill_buffer(train_maps)
 
     deadline = time.time() + args.hours * 3600
@@ -114,8 +117,10 @@ def main():
             print(f"  val_median {v['val_median']:.4e}  "
                   f"val_p90 {v['val_p90']:.4e}", flush=True)
             trainer.save_topk(ckpt_dir, v["val_median"], k=args.top_k)
+            trainer.save_state(ckpt_dir)
     v = trainer.validate(val_maps, num_iterations=args.val_iters)
     trainer.save_topk(ckpt_dir, v["val_median"], k=args.top_k)
+    trainer.save_state(ckpt_dir)
     print(f"done at epoch {trainer.epoch}  final val_median "
           f"{v['val_median']:.4e}", flush=True)
 
