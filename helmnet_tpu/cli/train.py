@@ -37,7 +37,13 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
 
-    if args.platform:
+    if args.smoke and args.platform is None:
+        # --smoke is the CPU verification path; without this, an ambient
+        # remote-TPU platform (JAX_PLATFORMS=axon) hangs the smoke check
+        # whenever the tunneled worker is down. --platform default
+        # restores device-targeting smoke runs.
+        args.platform = "cpu"
+    if args.platform and args.platform != "default":
         import jax
 
         jax.config.update("jax_platforms", args.platform)
