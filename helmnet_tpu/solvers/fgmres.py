@@ -44,6 +44,7 @@ class FGMRESResult(NamedTuple):
     wavefield: jax.Array       # [H, W, 2] solution (channel pair)
     residual_norms: jax.Array  # [cycles + 1] true relative residuals
     iterations: int            # outer Krylov iterations performed
+    recycle_state: tuple | None = None  # (U, C) device bases (FGCRO-DR)
 
 
 def make_learned_preconditioner(params, op, sos_map, *, cfg: Config,
@@ -194,6 +195,228 @@ def _make_host_arnoldi_cycle(mv, precond, restart: int):
     return cycle
 
 
+def _make_recycled_host_cycle(mv, precond, restart: int, k: int):
+    """FGCRO-DR: host-Arnoldi flexible GMRES with a k-dimensional recycled
+    deflation space carried ACROSS restart cycles (and across solve calls
+    via FGMRESResult.recycle_state).
+
+    Why: restarted FGMRES truncates the Krylov space every `restart` steps
+    and re-learns the near-null Helmholtz components from scratch each
+    cycle — the measured 8192^2 deceleration (R2_TPU_EXTRAS
+    helm_8192_twolevel: gains per cycle shrink monotonically). GCRO-DR
+    (Parks & de Sturler; flexible variant per Carvalho/Giraud) keeps
+    harmonic-Ritz approximations of those components as U (solution space)
+    and C = A U (orthonormal image space): every cycle first solves
+    exactly in span(U), then runs the flexible Arnoldi on the PROJECTED
+    operator (I - C C^H) A, so the truncated space never has to rediscover
+    the recycled directions.
+
+    The recycle pair satisfies A U^T = C^T — a property of A alone — so
+    (U, C) stay valid when the (flexible, inexact) preconditioner changes
+    between cycles, e.g. under a coarse-tolerance schedule.
+
+    Bases are stored row-major [k, n] / [m+1, n] like the plain host cycle;
+    all fetches are f32 re/im pairs (complex host transfer is
+    unimplemented on axon); every kernel hoists its closure constants
+    (core/hoist.py) and donates the large bases it rewrites.
+    """
+    m = restart
+
+    @LazyHoistedJit
+    def alloc(bv, x):
+        """First cycle (no recycle space yet): plain flexible Arnoldi init."""
+        r0 = bv - mv(x)
+        beta = jnp.linalg.norm(r0)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((m + 1, bv.shape[0]), bv.dtype).at[0].set(r0 / safe)
+        Z = jnp.zeros((m, bv.shape[0]), bv.dtype)
+        return V, Z, beta.real
+
+    @functools.partial(LazyHoistedJit, donate_argnums=(1,))
+    def alloc_proj(bv, x, U, C):
+        """Recycled-cycle init: exact solve in span(U) + C-projection.
+        x += U^T C^H r;  r -= C^T C^H r  (then r _|_ span(C))."""
+        r0 = bv - mv(x)
+        t = jnp.conj(C) @ r0
+        x1 = x + U.T @ t
+        r = r0 - C.T @ t
+        beta = jnp.linalg.norm(r)
+        safe = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((m + 1, bv.shape[0]), bv.dtype).at[0].set(r / safe)
+        Z = jnp.zeros((m, bv.shape[0]), bv.dtype)
+        return V, Z, x1, beta.real
+
+    @functools.partial(LazyHoistedJit, donate_argnums=(0, 1))
+    def step(V, Z, j):
+        """Plain flexible Arnoldi step (first cycle) — CGS2, masked
+        coefficients (see _make_host_arnoldi_cycle for the HBM rationale)."""
+        z = precond(V[j])
+        w = mv(z)
+        mask = jnp.arange(V.shape[0]) <= j
+        h1 = jnp.where(mask, V.conj() @ w, 0)
+        w = w - V.T @ h1
+        h2 = jnp.where(mask, V.conj() @ w, 0)
+        w = w - V.T @ h2
+        h = h1 + h2
+        hn = jnp.linalg.norm(w)
+        safe = jnp.where(hn > 0, hn, 1.0)
+        hcol = h.at[j + 1].set(hn.astype(h.dtype))
+        V = V.at[j + 1].set(w / safe)
+        Z = Z.at[j].set(z)
+        return V, Z, jnp.stack([hcol.real, hcol.imag]).astype(jnp.float32)
+
+    @functools.partial(LazyHoistedJit, donate_argnums=(0, 1))
+    def step_defl(V, Z, C, j):
+        """Projected flexible Arnoldi step: w = (I - C C^H) A M(v_j),
+        recording B[:, j] = C^H A M(v_j)."""
+        z = precond(V[j])
+        w = mv(z)
+        bcol = jnp.conj(C) @ w
+        w = w - C.T @ bcol
+        mask = jnp.arange(V.shape[0]) <= j
+        h1 = jnp.where(mask, V.conj() @ w, 0)
+        w = w - V.T @ h1
+        h2 = jnp.where(mask, V.conj() @ w, 0)
+        w = w - V.T @ h2
+        h = h1 + h2
+        hn = jnp.linalg.norm(w)
+        safe = jnp.where(hn > 0, hn, 1.0)
+        hcol = h.at[j + 1].set(hn.astype(h.dtype))
+        V = V.at[j + 1].set(w / safe)
+        Z = Z.at[j].set(z)
+        return (V, Z,
+                jnp.stack([hcol.real, hcol.imag]).astype(jnp.float32),
+                jnp.stack([bcol.real, bcol.imag]).astype(jnp.float32))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update(x, Z, y_re, y_im):
+        y = jax.lax.complex(y_re, y_im).astype(Z.dtype)
+        return x + Z.T @ y
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def update_defl(x, Z, U, y_re, y_im, z_re, z_im):
+        """x += Z^T y + U^T (-B y): the -B y term cancels the C-component
+        the new directions re-introduce (A Z^T = C^T B + V^T Hbar)."""
+        y = jax.lax.complex(y_re, y_im).astype(Z.dtype)
+        zc = jax.lax.complex(z_re, z_im).astype(U.dtype)
+        return x + Z.T @ y + U.T @ zc
+
+    @jax.jit
+    def harvest(V, Z, p_re, p_im, q_re, q_im):
+        """First-cycle recycle build. With Hbar P = Q R:
+        U = (Z^T P R^{-1})^T,  C = (V^T Q)^T,  so A U^T = C^T exactly
+        (up to f32) by the Arnoldi relation A Z^T = V^T Hbar."""
+        PR = jax.lax.complex(p_re, p_im).astype(Z.dtype)  # [m, k]
+        Q = jax.lax.complex(q_re, q_im).astype(V.dtype)   # [m+1, k]
+        return PR.T @ Z, Q.T @ V
+
+    @jax.jit
+    def inner_blocks(U, C, V, Z):
+        """Chat^H W blocks for the combined harmonic-Ritz problem,
+        W = [U^T, Z^T], Chat = [C^T, V^T]; fetched as one f32 pair."""
+        CU = jnp.conj(C) @ U.T   # [k, k]
+        CZ = jnp.conj(C) @ Z.T   # [k, m]
+        VU = jnp.conj(V) @ U.T   # [m+1, k]
+        VZ = jnp.conj(V) @ Z.T   # [m+1, m]
+        top = jnp.concatenate([CU, CZ], axis=1)
+        bot = jnp.concatenate([VU, VZ], axis=1)
+        W = jnp.concatenate([top, bot], axis=0)  # [k+m+1, k+m]
+        return jnp.stack([W.real, W.imag]).astype(jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def refresh(U, C, V, Z, t1_re, t1_im, t2_re, t2_im,
+                q1_re, q1_im, q2_re, q2_im):
+        """Thick-restart rotation of the recycle space from the combined
+        subspace [U^T, Z^T]: U_new = T1^T U + T2^T Z (T = P R^{-1} split),
+        C_new = Q1^T C + Q2^T V (Q from QR of G P)."""
+        dt = U.dtype
+        T1 = jax.lax.complex(t1_re, t1_im).astype(dt)  # [k, k]
+        T2 = jax.lax.complex(t2_re, t2_im).astype(dt)  # [m, k]
+        Q1 = jax.lax.complex(q1_re, q1_im).astype(dt)  # [k, k]
+        Q2 = jax.lax.complex(q2_re, q2_im).astype(dt)  # [m+1, k]
+        return T1.T @ U + T2.T @ Z, Q1.T @ C + Q2.T @ V
+
+    from .deflation import _f32_halves, _harmonic_ritz
+
+    state = {"U": None, "C": None}
+
+    def set_state(UC):
+        if UC is not None:
+            state["U"], state["C"] = UC
+
+    def get_state():
+        return (state["U"], state["C"]) if state["U"] is not None else None
+
+    def cycle(bvec, x):
+        if state["U"] is None:
+            # ---- first cycle: plain flexible Arnoldi + harvest ----------
+            V, Z, beta = alloc(bvec, x)
+            beta = float(np.asarray(beta))
+            if beta == 0.0:
+                return x
+            H = np.zeros((m + 1, m), np.complex128)
+            for j in range(m):
+                V, Z, hp = step(V, Z, jnp.int32(j))
+                hp = np.asarray(hp, np.float64)
+                H[:, j] = hp[0] + 1j * hp[1]
+            e1 = np.zeros(m + 1, np.complex128)
+            e1[0] = beta
+            y, *_ = np.linalg.lstsq(H, e1, rcond=None)
+            x = update(x, Z, *_f32_halves(y))
+            P, _ = _harmonic_ritz(H, k)
+            Q, R = np.linalg.qr(H @ P)
+            if np.linalg.cond(R) < 1e12:
+                PRinv = P @ np.linalg.inv(R)
+                state["U"], state["C"] = harvest(
+                    V, Z, *_f32_halves(PRinv), *_f32_halves(Q)
+                )
+            return x
+        # ---- recycled cycle: project, deflated Arnoldi, refresh ---------
+        U, C = state["U"], state["C"]
+        V, Z, x, beta = alloc_proj(bvec, x, U, C)
+        beta = float(np.asarray(beta))
+        if beta == 0.0:
+            return x
+        H = np.zeros((m + 1, m), np.complex128)
+        B = np.zeros((k, m), np.complex128)
+        for j in range(m):
+            V, Z, hp, bp = step_defl(V, Z, C, jnp.int32(j))
+            hp = np.asarray(hp, np.float64)
+            bp = np.asarray(bp, np.float64)
+            H[:, j] = hp[0] + 1j * hp[1]
+            B[:, j] = bp[0] + 1j * bp[1]
+        e1 = np.zeros(m + 1, np.complex128)
+        e1[0] = beta
+        y, *_ = np.linalg.lstsq(H, e1, rcond=None)
+        x = update_defl(x, Z, U, *_f32_halves(y), *_f32_halves(-B @ y))
+        # thick restart: harmonic Ritz over the combined space [U^T, Z^T];
+        # A W = Chat G with G = [[I, B], [0, H]]
+        G = np.block([
+            [np.eye(k, dtype=np.complex128), B],
+            [np.zeros((m + 1, k), np.complex128), H],
+        ])
+        ChatW = np.asarray(inner_blocks(U, C, V, Z), np.float64)
+        ChatW = ChatW[0] + 1j * ChatW[1]
+        from .deflation import _combined_harmonic_ritz
+
+        P, _ = _combined_harmonic_ritz(G, ChatW, k)
+        if P is not None and np.all(np.isfinite(P)):
+            GP = G @ P
+            Q, R = np.linalg.qr(GP)
+            if np.linalg.cond(R) < 1e12:
+                PRinv = P @ np.linalg.inv(R)
+                state["U"], state["C"] = refresh(
+                    U, C, V, Z,
+                    *_f32_halves(PRinv[:k]), *_f32_halves(PRinv[k:]),
+                    *_f32_halves(Q[:k]), *_f32_halves(Q[k:]),
+                )
+        return x
+
+    cycle.set_state = set_state
+    cycle.get_state = get_state
+    return cycle
+
+
 def solve_fgmres(
     op,
     source: jax.Array,
@@ -206,6 +429,8 @@ def solve_fgmres(
     tol: float = 1e-5,
     x0: jax.Array | None = None,
     host_arnoldi: bool = False,
+    recycle_k: int = 0,
+    recycle_state: tuple | None = None,
     verbose: bool = False,
 ) -> FGMRESResult:
     """Solve A u = s with flexible GMRES under ANY (possibly nonlinear,
@@ -216,6 +441,10 @@ def solve_fgmres(
     per device dispatch (host loop), so arbitrarily long solves respect
     single-dispatch limits; `host_arnoldi=True` tightens that to one
     dispatch per Krylov STEP for deep/expensive preconditioners.
+    `recycle_k > 0` (requires host_arnoldi) carries a k-dimensional
+    harmonic-Ritz deflation space across cycles (FGCRO-DR, see
+    _make_recycled_host_cycle) and across calls via
+    result.recycle_state -> the recycle_state argument of the next call.
     Returns true relative residual history.
     """
     source = jnp.asarray(source)
@@ -231,7 +460,14 @@ def solve_fgmres(
     # complex64 host<->device transfer is unimplemented on the axon
     # runtime (CLAUDE.md); arguments stay device-resident.
     bvec = b.reshape(-1)
-    if host_arnoldi:
+    if recycle_k > 0:
+        if not host_arnoldi:
+            raise ValueError("recycle_k > 0 requires host_arnoldi=True")
+        if not (0 < recycle_k < restart):
+            raise ValueError("need 0 < recycle_k < restart")
+        cycle = _make_recycled_host_cycle(mv, precond, restart, recycle_k)
+        cycle.set_state(recycle_state)
+    elif host_arnoldi:
         cycle = _make_host_arnoldi_cycle(mv, precond, restart)
     else:
         cycle = LazyHoistedJit(
@@ -265,6 +501,7 @@ def solve_fgmres(
         wavefield=jnp.stack([xf.real, xf.imag], axis=-1),
         residual_norms=jnp.asarray(norms),
         iterations=it,
+        recycle_state=cycle.get_state() if recycle_k > 0 else None,
     )
 
 

@@ -365,6 +365,8 @@ def solve_fgmres_multilevel(
     tol: float = 1e-5,
     x0: Optional[jax.Array] = None,
     host_arnoldi: bool = False,
+    recycle_k: int = 0,
+    recycle_state=None,
     verbose: bool = False,
 ):
     """Flexible GMRES with the recursive multilevel preconditioner.
@@ -389,7 +391,8 @@ def solve_fgmres_multilevel(
     return solve_fgmres(
         op, source, sos_map, cfg=cfg, precond_field=precond_field,
         restart=restart, max_restarts=max_restarts, tol=tol, x0=x0,
-        host_arnoldi=host_arnoldi, verbose=verbose,
+        host_arnoldi=host_arnoldi, recycle_k=recycle_k,
+        recycle_state=recycle_state, verbose=verbose,
     )
 
 
@@ -412,6 +415,8 @@ def solve_fgmres_two_level(
     tol: float = 1e-5,
     x0: Optional[jax.Array] = None,
     host_arnoldi: bool = False,
+    recycle_k: int = 0,
+    recycle_state=None,
     verbose: bool = False,
 ):
     """Flexible GMRES with the two-level preconditioner.
@@ -434,5 +439,6 @@ def solve_fgmres_two_level(
     return solve_fgmres(
         op, source, sos_map, cfg=cfg, precond_field=precond_field,
         restart=restart, max_restarts=max_restarts, tol=tol, x0=x0,
-        host_arnoldi=host_arnoldi, verbose=verbose,
+        host_arnoldi=host_arnoldi, recycle_k=recycle_k,
+        recycle_state=recycle_state, verbose=verbose,
     )

@@ -431,7 +431,14 @@ class Trainer3D:
         return path
 
     def restore(self, directory: str) -> bool:
-        """Resume from save_state; returns False when absent."""
+        """Resume from save_state; returns False when absent.
+
+        Not an exact continuation: the replay buffer is rebuilt (slot ages
+        re-seed) since persisting the full HBM buffer is not worth the
+        checkpoint size. The host RNG IS decorrelated from the run's first
+        epochs by re-seeding from the restored global_step, so a resumed
+        run does not replay the seed-0 slot/source sampling sequence
+        (ADVICE r3)."""
         path = os.path.join(directory, "state3d.npz")
         if not os.path.exists(path):
             return False
@@ -454,6 +461,7 @@ class Trainer3D:
         self.scheduler.lr = float(meta[2])
         self.scheduler.best = float(meta[3])
         self.scheduler.bad_epochs = int(meta[4])
+        self.rng = np.random.default_rng(self.global_step + 1)
         return True
 
     def restore_best(self, directory: str) -> bool:

@@ -81,11 +81,9 @@ def main():
         "seconds": round(time.time() - t0, 1),
         "wavelengths_across": round(n / (2 * np.pi / omega), 1),
     }
-    data = json.load(open(EXTRAS)) if os.path.exists(EXTRAS) else {}
-    data["helm3d_cslp_gmres_256cubed"] = out
-    with open(EXTRAS, "w") as f:
-        json.dump(data, f, indent=2)
-    print("recorded helm3d_cslp_gmres_256cubed", flush=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _extras import record
+    record("helm3d_cslp_gmres_256cubed", out, path=EXTRAS)
 
 
 if __name__ == "__main__":

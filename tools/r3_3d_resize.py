@@ -32,11 +32,9 @@ EXTRAS = os.path.join(ROOT, "R2_TPU_EXTRAS.json")
 
 
 def record(key, value):
-    data = json.load(open(EXTRAS)) if os.path.exists(EXTRAS) else {}
-    data[key] = value
-    with open(EXTRAS, "w") as f:
-        json.dump(data, f, indent=2)
-    print(f"recorded {key}", flush=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _extras import record as _record
+    _record(key, value, path=EXTRAS)
 
 
 def main():

@@ -32,14 +32,9 @@ EXTRAS = os.path.join(ROOT, "R2_TPU_EXTRAS.json")
 
 
 def record(key, value):
-    data = {}
-    if os.path.exists(EXTRAS):
-        with open(EXTRAS) as f:
-            data = json.load(f)
-    data[key] = value
-    with open(EXTRAS, "w") as f:
-        json.dump(data, f, indent=2)
-    print(f"recorded {key}", flush=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _extras import record as _record
+    _record(key, value, path=EXTRAS)
 
 
 def main():

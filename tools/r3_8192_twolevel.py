@@ -37,8 +37,11 @@ def record(key, value):
         with open(EXTRAS) as f:
             data = json.load(f)
     data[key] = value
-    with open(EXTRAS, "w") as f:
+    # atomic: a SIGTERM mid-dump must not truncate prior recorded results
+    tmp = EXTRAS + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(data, f, indent=2)
+    os.replace(tmp, EXTRAS)
     print(f"recorded {key}", flush=True)
 
 

@@ -143,6 +143,15 @@ def main():
         warm_started=warm_started, epoch_budget=args.epoch_budget,
     )
     print(f"epoch cap {epoch_cap} (start {trainer.epoch})", flush=True)
+    if epoch_cap <= trainer.epoch:
+        # a resumed warm-started tag restores epoch >= max_epochs with
+        # warm_started=False; without this guard the run silently trains
+        # zero epochs (ADVICE r3) — demand an explicit budget instead
+        raise SystemExit(
+            f"epoch cap {epoch_cap} <= restored epoch {trainer.epoch}: this "
+            f"run would train ZERO epochs. Pass --epoch-budget N to extend "
+            f"a resumed warm-started tag (absolute cap = restored + N)."
+        )
     deadline = time.time() + args.hours * 3600
     while time.time() < deadline and trainer.epoch < epoch_cap:
         stats = trainer.training_epoch(train_maps)
