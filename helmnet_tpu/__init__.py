@@ -53,6 +53,12 @@ from .solvers.gmres import (  # noqa: F401
     solve_helmholtz,
     solve_helmholtz_batch,
     solve_helmholtz_checked,
+    solve_helmholtz_chunked,
+)
+from .solvers.auto import (  # noqa: F401
+    SolverPlan,
+    choose_solver,
+    solve_auto,
 )
 from .core.sanitize import checked, check_finite, debug_nans  # noqa: F401
 from .solvers.helm3d import (  # noqa: F401

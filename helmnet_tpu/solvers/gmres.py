@@ -254,6 +254,79 @@ def solve_helmholtz_batch(
     return jax.vmap(fn)(k_sq_batch, source_batch)
 
 
+def solve_helmholtz_chunked(
+    op,
+    k_sq: jax.Array,
+    source: jax.Array,
+    *,
+    mode: str = "auto",
+    restart: int = 25,
+    max_cycles: int = 160,
+    tol: float = 1e-4,
+    precond: str = "shifted_laplace",
+    shift: tuple = (1.0, 0.5),
+    budget_s: float = float("inf"),
+    verbose: bool = False,
+):
+    """Host-chunked restarted GMRES: ONE bounded device dispatch per
+    restart cycle, warm-started by defect correction (u += solve(-r(u))).
+
+    This is the production large-grid classical path (promoted from
+    tools/r3_large_4096.py, which measured 4096^2 CSLP to 9.7e-5 with
+    it): single dispatches past ~30 s crash the tunneled TPU worker, so
+    a 2048^2+ solve must never run all its cycles in one jit. Everything
+    enters the jit as ARGUMENTS (no baked closure constants — the
+    remote-compile 413 hazard at very large grids). Returns a GMRESResult
+    with per-cycle true relative residuals in residual_norms.
+    """
+    import time as _time
+
+    import numpy as np
+
+    from ..ops.spectral import helmholtz_residual
+
+    if source.ndim == 3 and source.shape[-1] == 2:
+        src = jnp.asarray(source)
+    else:
+        b = jnp.asarray(source)
+        src = jnp.stack([b.real, b.imag], axis=-1) if jnp.iscomplexobj(b) \
+            else jnp.stack([b, jnp.zeros_like(b)], axis=-1)
+
+    @jax.jit
+    def _neg_residual(op_, k_sq_, src_, u):
+        r = helmholtz_residual(op_, u[None], k_sq_[None], src_[None],
+                               mode=mode)[0]
+        return -r, jnp.linalg.norm(r.reshape(-1))
+
+    src_norm = float(np.asarray(jnp.linalg.norm(src.reshape(-1))))
+    t0 = _time.time()
+    u = jnp.zeros(src.shape, jnp.float32)
+    hist, cycles_run = [], 0
+    for _ in range(max_cycles):
+        b_eff, rnorm = _neg_residual(op, k_sq, src, u)
+        hist.append(float(np.asarray(rnorm)) / max(src_norm, 1e-30))
+        if verbose:
+            print(f"  cslp-chunked[{cycles_run * restart}]: "
+                  f"rel {hist[-1]:.3e}", flush=True)
+        if hist[-1] < tol or _time.time() - t0 > budget_s:
+            break
+        step = solve_helmholtz(op, k_sq, b_eff, mode=mode, restart=restart,
+                               max_restarts=1, tol=1e-12, precond=precond,
+                               shift=shift)
+        u = u + step.x
+        cycles_run += 1
+        del step
+    else:
+        _, rnorm = _neg_residual(op, k_sq, src, u)
+        hist.append(float(np.asarray(rnorm)) / max(src_norm, 1e-30))
+    return GMRESResult(
+        x=u,
+        residual_norms=jnp.asarray(hist),
+        checkpoints=u[None],
+        iterations=jnp.asarray(cycles_run * restart),
+    )
+
+
 def gmres_restarted_early_exit(
     matvec: Callable[[jax.Array], jax.Array],
     b: jax.Array,

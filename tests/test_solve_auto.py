@@ -1,0 +1,112 @@
+"""solve_auto policy (solvers/auto.py) — the measured solver decision
+surface as an executable, test-pinned policy.
+
+Each test pins the choice on a benchmarked regime from
+R2_TPU_EXTRAS.json / results/gmres_sweep_96.json; if a re-measurement
+moves a threshold, update solvers/auto.py AND the matching pin here.
+"""
+
+import numpy as np
+import pytest
+
+from helmnet_tpu.core.config import Config, GeometryConfig
+from helmnet_tpu.solvers.auto import choose_solver, solve_auto
+
+
+def _sos(n, contrast=0.0, d3=False):
+    shape = (n, n, n) if d3 else (n, n)
+    sos = np.ones(shape, np.float32)
+    if contrast:
+        c = tuple(slice(s // 4, 3 * s // 4) for s in shape)
+        rng = np.random.default_rng(0)
+        sos[c] = 1.0 + contrast * rng.random(sos[c].shape, np.float32)
+    return sos
+
+
+CFG = Config()
+FAKE_PARAMS = {"dummy": np.zeros(1)}  # policy only checks availability
+
+
+class TestPolicyPins:
+    """One pin per benchmarked regime (module-docstring table)."""
+
+    def test_96_with_checkpoint_is_learned(self):
+        plan = choose_solver(_sos(96, 1.0), cfg=CFG, params=FAKE_PARAMS)
+        assert plan.method == "learned"
+
+    def test_96_without_checkpoint_is_cslp(self):
+        plan = choose_solver(_sos(96, 1.0), cfg=CFG)
+        assert plan.method == "cslp"
+
+    def test_2048_highk_mild_contrast_is_cslp_not_two_level(self):
+        """twolevel_2048_highk.cslp_comparison: CSLP 280 s vs two-level
+        829 s — the regression solve_auto exists to prevent."""
+        plan = choose_solver(_sos(2048), cfg=CFG, params=FAKE_PARAMS)
+        assert plan.method == "cslp"
+
+    def test_4096_highk_is_cslp(self):
+        plan = choose_solver(_sos(4096), cfg=CFG)
+        assert plan.method == "cslp"
+
+    def test_1024_strong_heterogeneity_is_two_level(self):
+        """fgmres_1024 far-OOD: CSLP stalls at 0.072; two-level is the
+        only converger (8.5e-5)."""
+        plan = choose_solver(_sos(1024, 1.0), cfg=CFG, params=FAKE_PARAMS)
+        assert plan.method == "two_level"
+        assert plan.kwargs["smoother"] == "learned"
+        assert plan.kwargs["transfer"] == "spectral"
+
+    def test_1024_strong_heterogeneity_no_params_cslp_smoother(self):
+        plan = choose_solver(_sos(1024, 1.0), cfg=CFG)
+        assert plan.method == "two_level"
+        assert plan.kwargs["smoother"] == "cslp"
+
+    def test_8192_is_recycled_two_level(self):
+        """helm_8192_capability: CSLP plateaus at 5.6e-2; recycled
+        two-level is the only descending method."""
+        plan = choose_solver(_sos(8192), cfg=CFG)
+        assert plan.method == "two_level_recycled"
+        assert plan.kwargs["recycle_k"] >= 2
+
+    def test_3d_measured_contrast_is_cslp(self):
+        """helm3d_twolevel_256: CSLP keeps the wall-clock edge at
+        sos 1->2."""
+        plan = choose_solver(_sos(64, 1.0, d3=True), cfg=CFG)
+        assert plan.method == "cslp3d"
+
+    def test_3d_extreme_contrast_is_two_level(self):
+        sos = _sos(64, d3=True)
+        sos[16:48, 16:48, 16:48] = 4.0
+        plan = choose_solver(sos, cfg=CFG)
+        assert plan.method == "two_level3d"
+
+    def test_rationale_and_evidence_present(self):
+        for sos in (_sos(96), _sos(2048), _sos(1024, 1.0)):
+            plan = choose_solver(sos, cfg=CFG)
+            assert plan.rationale and plan.evidence
+
+
+class TestSolveAutoExecutes:
+    def test_cslp_small_end_to_end(self):
+        n = 64
+        cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=8,
+                                             sigma_max=2.0))
+        sos = _sos(n, 0.3)
+        src = np.zeros((n, n, 2), np.float32)
+        src[48, 32, 0] = 10.0
+        res, plan = solve_auto(src, sos, cfg=cfg, tol=1e-6)
+        assert plan.method == "cslp"
+        norms = np.asarray(res.residual_norms)
+        assert norms[-1] / norms[0] < 1e-3
+
+    def test_override_merges(self):
+        n = 64
+        cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=8,
+                                             sigma_max=2.0))
+        res, plan = solve_auto(
+            np.zeros((n, n, 2), np.float32), _sos(n), cfg=cfg,
+            max_restarts=1,
+        )
+        # zero source: converged immediately, but the call path honored
+        # the override without kwargs conflicts
+        assert plan.method == "cslp"
