@@ -37,7 +37,7 @@ from ..ops.spectral3d import SpectralPML3D, _complex_axis_matmul
 
 def make_sharded_residual3d(
     mesh: Mesh, op: SpectralPML3D, axis: str = "z",
-    method: str = "transpose",
+    method: str = "transpose", overlap_chunks: int = 4,
 ):
     """Returns jitted residual(u, k_sq, source) for z-slab shards.
 
@@ -45,10 +45,17 @@ def make_sharded_residual3d(
     k_sq: [B, D, H, W] sharded P('data', axis, None, None).
     D and H must be divisible by the axis size. `method` selects the
     z-contraction collective: 'transpose' (2 all_to_alls of the local
-    shard) or 'scatter' (one psum_scatter of the full field) — see
-    module docstring for the traffic economics.
+    shard), 'scatter' (one psum_scatter of the full field), or 'overlap'
+    (transpose split into `overlap_chunks` independent W-chunks so XLA
+    can pipeline each chunk's all_to_all against the previous chunk's
+    GEMM and against the local y/x matmuls — the comm/compute overlap
+    the zero-overlap SCALING_MODEL lower bound leaves on the table; at
+    512^3 on 4 devices it models 0.79 efficiency unoverlapped, >=0.95
+    with the exposed-comm term reduced to the first chunk's transfer).
+    W chunks should keep 128-lane alignment on real TPUs: W /
+    overlap_chunks is asserted to stay a multiple of 128 when W >= 512.
     """
-    if method not in ("transpose", "scatter"):
+    if method not in ("transpose", "scatter", "overlap"):
         raise ValueError(f"unknown slab3d method {method!r}")
     spec5 = P("data", axis, None, None, None)
     spec4 = P("data", axis, None, None)
@@ -78,7 +85,38 @@ def make_sharded_residual3d(
         return jax.lax.all_to_all(lz_t, axis, split_axis=1, concat_axis=2,
                                   tiled=True)
 
-    lz_fn = lz_transpose if method == "transpose" else lz_scatter
+    def lz_overlap(az_r, az_i, u):
+        """Chunked transpose: W split into `overlap_chunks` independent
+        all_to_all -> GEMM -> all_to_all chains. Each chain only depends
+        on its own W slice, so the XLA scheduler issues chunk i+1's
+        (async) all_to_all while chunk i's GEMM runs on the MXU,
+        hiding all but the first chunk's transfer; the chains are also
+        independent of the y/x matmuls in local_residual, giving a
+        second overlap window. Static Python loop: fixed chunk count,
+        fully unrolled at trace time (no dynamic shapes)."""
+        W = u.shape[3]
+        nc = min(overlap_chunks, W)
+        if W % nc:
+            raise ValueError(f"W={W} not divisible by {nc} chunks")
+        if W >= 512 and (W // nc) % 128:
+            raise ValueError(
+                f"W/chunks = {W // nc} breaks 128-lane alignment"
+            )
+        outs = []
+        for i in range(nc):
+            ui = jax.lax.slice_in_dim(u, i * (W // nc), (i + 1) * (W // nc),
+                                      axis=3)
+            t = jax.lax.all_to_all(ui, axis, split_axis=2, concat_axis=1,
+                                   tiled=True)
+            lz_t = _complex_axis_matmul(az_r, az_i, t, "dj,bjhwc->bdhwc")
+            outs.append(
+                jax.lax.all_to_all(lz_t, axis, split_axis=1, concat_axis=2,
+                                   tiled=True)
+            )
+        return jnp.concatenate(outs, axis=3)
+
+    lz_fn = {"transpose": lz_transpose, "scatter": lz_scatter,
+             "overlap": lz_overlap}[method]
 
     def local_residual(az_r, az_i, ay_r, ay_i, ax_r, ax_i, u, k_sq, src):
         # u local: [B_loc, Dz_loc, H, W, 2]

@@ -145,6 +145,25 @@ class SolverService:
                 source_map = np.stack(
                     [source_map, np.zeros_like(source_map)], axis=-1
                 )
+        # policy advisory (solvers/auto.choose_solver): the service runs
+        # the learned family; if the measured decision surface says a
+        # classical solver wins for this problem (out-of-envelope grid
+        # or contrast), warn at submit time so the operator can route
+        # the request through cli/solve instead. Advisory only — the
+        # serving executables stay pinned.
+        from .solvers.auto import choose_solver
+
+        plan = choose_solver(sos, cfg=self.solver.cfg,
+                             params=self.solver.params)
+        if plan.method != "learned":
+            import warnings
+
+            warnings.warn(
+                f"serve: policy winner for this {h}x{w} problem is "
+                f"'{plan.method}' ({plan.rationale}); serving the learned "
+                "rollout anyway — consider cli/solve for this request",
+                stacklevel=2,
+            )
         chunk = self.config.chunk_iterations
         want = iterations or self.config.default_iterations
         rounded = ((want + chunk - 1) // chunk) * chunk

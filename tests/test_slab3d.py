@@ -29,7 +29,7 @@ def mesh():
 
 
 class TestSlab3D:
-    @pytest.mark.parametrize("method", ["transpose", "scatter"])
+    @pytest.mark.parametrize("method", ["transpose", "scatter", "overlap"])
     def test_sharded_residual_equals_single_device(self, mesh, method):
         n = 24
         op = make_operator3d(n, n, n, 4, 2.0, 1.0)

@@ -117,18 +117,35 @@ def slab3d_model(n_global=512, devices=(2, 4, 8)):
     rate = 3 * 8 * 256**4 / (ms256 * 1e-3)  # effective flop/s
     full_bytes = n_global**3 * 8  # complex64 field
     flops = 3 * 8 * n_global**4
+    nc = 4  # overlap_chunks default in make_sharded_residual3d
     rows = {}
     for d in devices:
         t_c = flops / d / rate
         local = full_bytes / d
         t_tr = 2 * (local * (d - 1) / d / ICI_BW + (d - 1) * ICI_LAT)
         t_sc = full_bytes * (d - 1) / d / ICI_BW + (d - 1) * ICI_LAT
+        # 'overlap' (method='overlap', r4): the transpose is split into
+        # nc independent W-chunks, each chunk's all_to_all pipelined
+        # against the previous chunk's z-GEMM and against the local
+        # y/x matmuls. Overlap window = compute that can run while
+        # chunks are in flight: the 2/3 of compute that is y/x-local
+        # plus (nc-1)/nc of the z GEMMs. Exposed comm >= one chunk's
+        # transfer (the pipeline fill) and >= whatever the window
+        # cannot hide.
+        window = t_c * (2.0 / 3.0) + (t_c / 3.0) * (nc - 1) / nc
+        t_ov = max(t_tr / nc, t_tr - window)
         rows[d] = {
             "t_compute_ms": round(t_c * 1e3, 2),
             "transpose": {
                 "bytes_per_apply": int(2 * local * (d - 1) / d),
                 "t_comm_ms": round(t_tr * 1e3, 2),
                 "efficiency": round(t_c / (t_c + t_tr), 4),
+            },
+            "overlap": {
+                "bytes_per_apply": int(2 * local * (d - 1) / d),
+                "chunks": nc,
+                "t_comm_exposed_ms": round(t_ov * 1e3, 2),
+                "efficiency": round(t_c / (t_c + t_ov), 4),
             },
             "scatter": {
                 "bytes_per_apply": int(full_bytes * (d - 1) / d),
