@@ -1,0 +1,64 @@
+"""3D time-domain CW solver vs 3D CSLP-GMRES Helmholtz — the independent
+3D ground-truth cross-check (round-3 verdict Missing #1).
+
+The reference's validation methodology is agreement between the
+frequency-domain solution and an independently-discretized time-domain
+solver (matlab/kwave_solver.m:19-64); solve_cw3d reproduces it in 3D:
+leapfrog + 3D Cerjan sponge vs spectral-PML Helmholtz solved by
+CSLP-GMRES. Fields compared source-normalized over the cropped interior.
+"""
+
+import numpy as np
+import pytest
+
+from helmnet_tpu.ops.spectral3d import make_operator3d, point_source_map3d
+from helmnet_tpu.solvers.helm3d import solve_helmholtz3d
+from helmnet_tpu.solvers.timedomain import solve_cw3d
+
+
+def to_complex(pair):
+    a = np.asarray(pair)
+    return a[..., 0] + 1j * a[..., 1]
+
+
+@pytest.mark.slow
+class TestTimeDomain3D:
+    def _compare(self, sos, loc, crop=14, roundtrips=12):
+        d, h, w = sos.shape
+        amp = np.zeros((d, h, w), np.float32)
+        amp[loc] = 1.0
+        td = solve_cw3d(
+            sos, amp, omega=1.0, cfl=0.2, roundtrips=roundtrips,
+            record_periods=3, sponge_width=10, sponge_strength=1.0,
+        )
+        p_td = to_complex(np.asarray(td.phasor))
+
+        op = make_operator3d(d, h, w, 8, 2.0, 1.0)
+        k_sq = (1.0 / sos) ** 2
+        src = point_source_map3d(d, h, w, loc, 1.0)
+        res = solve_helmholtz3d(
+            op, k_sq, src, precond="shifted_laplace", restart=15,
+            max_restarts=40, tol=1e-7,
+        )
+        p_hh = to_complex(np.asarray(res.x))
+        rel = np.asarray(res.residual_norms)[-1]
+        assert rel / np.asarray(res.residual_norms)[0] < 1e-4, rel
+
+        p_td = p_td / p_td[loc]
+        p_hh = p_hh / p_hh[loc]
+        inner = np.s_[crop:-crop, crop:-crop, crop:-crop]
+        err = np.abs(p_td - p_hh)[inner].max()
+        err_conj = np.abs(np.conj(p_td) - p_hh)[inner].max()
+        scale = np.abs(p_hh[inner]).max()
+        return min(err, err_conj) / scale
+
+    def test_homogeneous_agrees(self):
+        sos = np.ones((48, 48, 48), np.float32)
+        rel = self._compare(sos, (32, 24, 24))
+        assert rel < 0.05, rel
+
+    def test_heterogeneous_agrees(self):
+        sos = np.ones((48, 48, 48), np.float32)
+        sos[18:26, 14:34, 14:34] = 1.5
+        rel = self._compare(sos, (34, 24, 24))
+        assert rel < 0.08, rel
