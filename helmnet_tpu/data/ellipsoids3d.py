@@ -32,8 +32,17 @@ def make_shell3d(
     maximal_random_skull_boost: float = 0.5,
     n_harmonics: int = 4,
     std_amplitudes=(0.08, 0.05, 0.03, 0.02),
+    interior_heterogeneity: float = 0.0,
 ) -> np.ndarray:
-    """One random sos volume, float32 [imsize, imsize, imsize]."""
+    """One random sos volume, float32 [imsize, imsize, imsize].
+
+    interior_heterogeneity > 0 fills the INSIDE of the shell with a
+    smooth random low-order Fourier sos field in
+    [background, background + interior_heterogeneity] — contrast inside
+    the domain, not just a shell on homogeneous background (the round-3
+    verdict's heterogeneous-3D-training regime; the 2D reference
+    dataset's interior is likewise heterogeneous,
+    /root/reference/helmnet/dataloaders.py:82-156)."""
     n = imsize
     ax = np.arange(n, dtype=np.float32)
     z, y, x = np.meshgrid(ax, ax, ax, indexing="ij")
@@ -68,6 +77,21 @@ def make_shell3d(
 
     boost = minimal_skull_sos_boost + maximal_random_skull_boost * rng.random()
     vol = np.full((n, n, n), background_sos, np.float32)
+    if interior_heterogeneity > 0.0:
+        # smooth low-order random cosine field, normalized to [0, 1]
+        field = np.zeros((n, n, n), np.float32)
+        coords = (z / n, y / n, x / n)
+        for _ in range(5):
+            kv = rng.integers(1, 4, size=3).astype(np.float32)
+            phase = rng.uniform(0, 2 * np.pi, size=3)
+            field += np.cos(2 * np.pi * kv[0] * coords[0] + phase[0]) * \
+                np.cos(2 * np.pi * kv[1] * coords[1] + phase[1]) * \
+                np.cos(2 * np.pi * kv[2] * coords[2] + phase[2])
+        field -= field.min()
+        field /= max(field.max(), 1e-6)
+        inside = rho < (r0 - half_band)
+        vol[inside] = (background_sos
+                       + interior_heterogeneity * field[inside])
     vol[shell] = background_sos + boost
     return vol
 

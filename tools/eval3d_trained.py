@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--iterations", type=int, default=400)
     ap.add_argument("--n-val", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--md-name", type=str, default="TRAINING3D.md")
     args = ap.parse_args()
 
     import jax
@@ -159,7 +160,7 @@ def main():
     gmres_rel = float(ref.residual_norms[-1] /
                       max(ref.residual_norms[0], 1e-30))
 
-    with open(os.path.join(ROOT, "TRAINING3D.md"), "w") as f:
+    with open(os.path.join(ROOT, args.md_name), "w") as f:
         f.write(f"# 3D training run `{args.tag}` (TPU v5e)\n\n")
         f.write(
             f"HybridNet3D ({args.size}^3 volumes, depth {args.depth}, "
@@ -190,7 +191,7 @@ def main():
         )
     print(f"\nBEST: {best}")
     print(f"agreement l_inf vs GMRES: {agreement:.4f}")
-    print("wrote TRAINING3D.md", flush=True)
+    print(f"wrote {args.md_name}", flush=True)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,8 @@ def main():
     unroll = int(os.environ.get("TS_UNROLL", "10"))
     val_every = int(os.environ.get("TS_VAL_EVERY", "20"))
     val_iters = int(os.environ.get("TS_VAL_ITERS", "300"))
+    lr = float(os.environ.get("TS_LR", "1e-3"))
+    min_lr = float(os.environ.get("TS_MIN_LR", "1e-4"))
     tag = os.environ.get("TS_TAG", f"sharded_quality_{mesh_kind}")
 
     cfg = Config()
@@ -67,6 +69,12 @@ def main():
             buffer_size=buffer,
             train_batch_size=batch,
             unrolling_steps=unroll,
+            # the r2b TPU recipe's lr; the config default (1e-4) plus the
+            # plateau scheduler decaying on the flat early-curriculum loss
+            # reaches the 1e-5 floor before the model has learned anything
+            # (the r4 first-attempt failure mode)
+            learning_rate=lr,
+            minimum_learning_rate=min_lr,
         ),
     )
     mesh = make_mesh(cfg.parallel) if mesh_kind == "dyx" else None

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--val-every", type=int, default=10)
     ap.add_argument("--val-iters", type=int, default=200)
     ap.add_argument("--batches-per-epoch", type=int, default=None)
+    ap.add_argument("--interior-heterogeneity", type=float, default=0.0,
+                    help="fill the shell interior with a smooth random sos "
+                         "field up to this contrast (heterogeneous-3D "
+                         "training regime, round-4)")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable BPTT-step rematerialization (needs ~35x "
                          "the HBM at the default config)")
@@ -86,7 +90,8 @@ def main():
     else:
         print("generating 3D dataset ...", flush=True)
         maps = make_dataset3d(
-            args.train_maps + args.val_maps, args.size, seed=42
+            args.train_maps + args.val_maps, args.size, seed=42,
+            interior_heterogeneity=args.interior_heterogeneity,
         )
         train_maps = maps[: args.train_maps]
         val_maps = maps[args.train_maps :]
