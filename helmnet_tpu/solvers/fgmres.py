@@ -431,6 +431,9 @@ def solve_fgmres(
     host_arnoldi: bool = False,
     recycle_k: int = 0,
     recycle_state: tuple | None = None,
+    budget_s: float | None = None,
+    on_cycle=None,
+    keep_x_complex: bool = False,
     verbose: bool = False,
 ) -> FGMRESResult:
     """Solve A u = s with flexible GMRES under ANY (possibly nonlinear,
@@ -446,7 +449,19 @@ def solve_fgmres(
     _make_recycled_host_cycle) and across calls via
     result.recycle_state -> the recycle_state argument of the next call.
     Returns true relative residual history.
+
+    Very-large-grid controls (8192^2 lives ~0.5 GB from the HBM cliff —
+    a 0.54 GB x-pair round trip per call was the r4 second-call OOM):
+    `budget_s` stops the cycle loop on wall-clock so a long solve is ONE
+    call; `on_cycle(norms)` fires after every cycle (crash-safe progress
+    recording); `keep_x_complex=True` skips building the [H, W, 2]
+    wavefield pair and returns the flat device-complex solution in
+    `wavefield` instead — pass it back as `x0` (complex 1-D is accepted)
+    to continue without any pair<->complex churn. NOTE: a complex x0 is
+    DONATED into the first cycle; the caller's reference dies.
     """
+    import time as _time
+
     source = jnp.asarray(source)
     b = jax.lax.complex(source[..., 0], source[..., 1])
     shape = b.shape
@@ -483,22 +498,36 @@ def solve_fgmres(
     # complex zeros must be BUILT on device from f32 (eager
     # jnp.zeros_like on complex64 round-trips a complex literal through
     # the unimplemented axon transfer path)
-    zero_f = jnp.zeros(bvec.shape, jnp.float32)
-    x = (jax.lax.complex(zero_f, zero_f) if x0 is None
-         else jax.lax.complex(x0[..., 0], x0[..., 1]).reshape(-1))
+    if x0 is None:
+        zero_f = jnp.zeros(bvec.shape, jnp.float32)
+        x = jax.lax.complex(zero_f, zero_f)
+    elif jnp.iscomplexobj(x0):
+        x = jnp.asarray(x0).reshape(-1)
+        x0 = None  # drop this frame's reference (donation safety)
+    else:
+        x = jax.lax.complex(x0[..., 0], x0[..., 1]).reshape(-1)
     norms = [float(np.asarray(true_relres(bvec, x)))]
     it = 0
+    t0 = _time.time()
     for _ in range(max_restarts):
         if norms[-1] < tol:
+            break
+        if budget_s is not None and _time.time() - t0 > budget_s:
             break
         x = cycle(bvec, x)
         it += restart
         norms.append(float(np.asarray(true_relres(bvec, x))))
+        if on_cycle is not None:
+            on_cycle(list(norms))
         if verbose:
             print(f"  fgmres[{it}]: rel={norms[-1]:.3e}", flush=True)
-    xf = x.reshape(shape)
+    if keep_x_complex:
+        wavefield = x  # flat device complex; no [H, W, 2] pair built
+    else:
+        xf = x.reshape(shape)
+        wavefield = jnp.stack([xf.real, xf.imag], axis=-1)
     return FGMRESResult(
-        wavefield=jnp.stack([xf.real, xf.imag], axis=-1),
+        wavefield=wavefield,
         residual_norms=jnp.asarray(norms),
         iterations=it,
         recycle_state=cycle.get_state() if recycle_k > 0 else None,

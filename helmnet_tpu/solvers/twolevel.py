@@ -367,6 +367,9 @@ def solve_fgmres_multilevel(
     host_arnoldi: bool = False,
     recycle_k: int = 0,
     recycle_state=None,
+    budget_s=None,
+    on_cycle=None,
+    keep_x_complex: bool = False,
     verbose: bool = False,
 ):
     """Flexible GMRES with the recursive multilevel preconditioner.
@@ -392,7 +395,8 @@ def solve_fgmres_multilevel(
         op, source, sos_map, cfg=cfg, precond_field=precond_field,
         restart=restart, max_restarts=max_restarts, tol=tol, x0=x0,
         host_arnoldi=host_arnoldi, recycle_k=recycle_k,
-        recycle_state=recycle_state, verbose=verbose,
+        recycle_state=recycle_state, budget_s=budget_s, on_cycle=on_cycle,
+        keep_x_complex=keep_x_complex, verbose=verbose,
     )
 
 
@@ -417,6 +421,9 @@ def solve_fgmres_two_level(
     host_arnoldi: bool = False,
     recycle_k: int = 0,
     recycle_state=None,
+    budget_s=None,
+    on_cycle=None,
+    keep_x_complex: bool = False,
     verbose: bool = False,
 ):
     """Flexible GMRES with the two-level preconditioner.
@@ -440,5 +447,6 @@ def solve_fgmres_two_level(
         op, source, sos_map, cfg=cfg, precond_field=precond_field,
         restart=restart, max_restarts=max_restarts, tol=tol, x0=x0,
         host_arnoldi=host_arnoldi, recycle_k=recycle_k,
-        recycle_state=recycle_state, verbose=verbose,
+        recycle_state=recycle_state, budget_s=budget_s, on_cycle=on_cycle,
+        keep_x_complex=keep_x_complex, verbose=verbose,
     )

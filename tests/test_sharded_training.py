@@ -72,20 +72,33 @@ class TestShardedTraining:
         stats = tr.training_epoch(maps)
         assert np.isfinite(stats["train_loss_mean"])
 
-    def test_mesh_epoch_matches_single_device(self):
-        """Full domain-partitioned epochs through training_epoch()
-        (spatially sharded experience batches, shard_experience) equal the
-        single-device run: same seeds -> same batches -> same losses."""
+    def test_mesh_run_matches_single_device_end_to_end(self):
+        """A full domain-partitioned RUN (8 epochs + validation) through
+        training_epoch() equals the single-device run: same seeds -> same
+        batches -> same loss trajectory AND same end-of-run validation
+        metric (the round-3 verdict's end-of-run metric parity bar;
+        quality-at-scale evidence lives in TRAIN_SHARDED_QUALITY.json)."""
         cfg = tiny_config()
         maps = make_dataset(8, 32, seed=2)
+        n_epochs = 8
 
         t0 = Trainer(cfg)
         t0.fill_buffer(maps)
-        l0 = [t0.training_epoch(maps)["train_loss_mean"] for _ in range(2)]
+        srcs = t0.make_val_sources(4)
+        l0 = [t0.training_epoch(maps)["train_loss_mean"]
+              for _ in range(n_epochs)]
+        v0 = t0.validate(maps[:4], num_iterations=30, batch=4,
+                         sources=srcs)["val_loss"]
 
         mesh = make_mesh(ParallelConfig(data=2, y=2, x=2))
         t1 = Trainer(cfg, mesh=mesh)
         t1.fill_buffer(maps)
-        l1 = [t1.training_epoch(maps)["train_loss_mean"] for _ in range(2)]
+        l1 = [t1.training_epoch(maps)["train_loss_mean"]
+              for _ in range(n_epochs)]
+        v1 = t1.validate(maps[:4], num_iterations=30, batch=4,
+                         sources=srcs)["val_loss"]
 
-        np.testing.assert_allclose(l1, l0, rtol=2e-4)
+        # f32 reassociation across device boundaries accumulates over
+        # 8 epochs of updates; trajectories must stay in lockstep
+        np.testing.assert_allclose(l1, l0, rtol=1e-3)
+        assert v1 == pytest.approx(v0, rel=5e-3), (v1, v0)

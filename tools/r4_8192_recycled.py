@@ -80,49 +80,62 @@ def main():
     traj, iters = [], 0
     x0, state = None, None
     phase_log = []
-    cur_cmr = None
-    while time.time() - t0 < budget:
-        frac = (time.time() - t0) / budget
-        cmr = max(v for v, f in schedule if f <= frac)
-        if cmr != cur_cmr:
-            phase_log.append({"coarse_max_restarts": cmr,
-                              "at_s": round(time.time() - t0, 1),
-                              "at_outer": iters})
-            print(f"  phase: coarse_max_restarts={cmr}", flush=True)
-            cur_cmr = cmr
-        res = solve_fgmres_two_level(
-            op, src, sos, cfg=cfg, smoother="cslp", restart=restart,
-            max_restarts=per_call, coarse_restart=c_restart,
-            coarse_max_restarts=cmr, transfer="spectral", tol=tol,
-            x0=x0, host_arnoldi=True, recycle_k=recycle_k,
-            recycle_state=state,
-        )
-        norms = list(np.asarray(res.residual_norms, np.float64))
-        traj.extend(norms[1:] if traj else norms)
-        iters += int(res.iterations)
-        x0 = res.wavefield
-        state = res.recycle_state
-        print(f"  outer {iters}: rel {traj[-1]:.3e} "
-              f"({time.time() - t0:.0f}s)", flush=True)
+
+    def snapshot(extra_norms=None):
+        cur = list(traj) + (list(extra_norms or [])[1:] if traj
+                            else list(extra_norms or []))
+        if not cur:
+            return
         record(key, {
             "n": n,
             "wavelengths_across": round(n / (2 * np.pi / omega), 1),
-            "rel_residual": traj[-1],
-            "outer_iterations": iters,
+            "rel_residual": cur[-1],
+            "outer_iterations": (len(cur) - 1) * restart,
             "seconds": round(time.time() - t0, 1),
-            "trajectory_every_cycle": [round(v, 8) for v in traj],
+            "trajectory_every_cycle": [round(v, 8) for v in cur],
             "restart": restart,
             "recycle_k": recycle_k,
             "coarse": {"restart": c_restart, "schedule": phase_log},
-            "converged": bool(traj[-1] < tol),
+            "converged": bool(cur[-1] < tol),
             "note": "two-level CSLP FGMRES + FGCRO-DR recycling + coarse-"
                     "tolerance schedule (r4; see helm_8192_twolevel for "
-                    "the r3 baseline trajectory)",
+                    "the r3 baseline trajectory). ONE solve call per "
+                    "schedule phase: per-call x-pair round trips cost "
+                    "0.5-1.6 GB at 8192^2 and OOMed the 2-calls/cycle "
+                    "variant.",
         })
-        if traj[-1] < tol:
-            break
-        if not np.isfinite(traj[-1]):
-            print("diverged", flush=True)
+        print(f"  outer {(len(cur) - 1) * restart}: rel {cur[-1]:.3e} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    # one solve call per schedule phase — the recycle space and the
+    # device-complex solution carry across phases with no pair churn
+    for pi, (cmr, frac) in enumerate(schedule):
+        start_s = frac * budget
+        end_s = (schedule[pi + 1][1] * budget if pi + 1 < len(schedule)
+                 else budget)
+        now = time.time() - t0
+        if now >= end_s or (traj and traj[-1] < tol):
+            continue
+        phase_log.append({"coarse_max_restarts": cmr,
+                          "at_s": round(now, 1),
+                          "at_outer": (max(len(traj) - 1, 0)) * restart})
+        print(f"  phase: coarse_max_restarts={cmr} "
+              f"(budget {end_s - now:.0f}s)", flush=True)
+        res = solve_fgmres_two_level(
+            op, src, sos, cfg=cfg, smoother="cslp", restart=restart,
+            max_restarts=100000, coarse_restart=c_restart,
+            coarse_max_restarts=cmr, transfer="spectral", tol=tol,
+            x0=x0, host_arnoldi=True, recycle_k=recycle_k,
+            recycle_state=state, budget_s=end_s - now,
+            on_cycle=snapshot, keep_x_complex=True,
+        )
+        norms = list(np.asarray(res.residual_norms, np.float64))
+        traj.extend(norms[1:] if traj else norms)
+        iters = (len(traj) - 1) * restart
+        x0 = res.wavefield  # flat device complex (donated into next phase)
+        state = res.recycle_state
+        snapshot()
+        if traj[-1] < tol or not np.isfinite(traj[-1]):
             break
 
 
