@@ -57,7 +57,13 @@ class SolverPlan:
 
 
 def _contrast(sos_map) -> float:
-    s = np.asarray(jax.device_get(jnp.asarray(sos_map, jnp.float32)))
+    # host-side when possible: serve.submit consults the policy per
+    # request, and a device round trip per submit costs ~RTT + 10 ms/MB
+    # on the tunneled runtime
+    if isinstance(sos_map, np.ndarray):
+        s = sos_map
+    else:
+        s = np.asarray(jax.device_get(jnp.asarray(sos_map, jnp.float32)))
     lo = float(s.min())
     return float(s.max()) / max(lo, 1e-6)
 
@@ -77,8 +83,11 @@ def choose_solver(
     n = max(shape)
     contrast = _contrast(sos_map)
     omega = cfg.source.omega
-    sos_min = float(np.asarray(jax.device_get(
-        jnp.min(jnp.asarray(sos_map, jnp.float32)))))
+    if isinstance(sos_map, np.ndarray):
+        sos_min = float(sos_map.min())
+    else:
+        sos_min = float(np.asarray(jax.device_get(
+            jnp.min(jnp.asarray(sos_map, jnp.float32)))))
     wavelengths = n / (2 * np.pi * sos_min / omega)
 
     if is_3d:
