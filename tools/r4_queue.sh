@@ -34,6 +34,13 @@ if (( $(left) > 7200 )); then
         > logs/eval_r4d.log 2>&1
 fi
 
+# 1b) plateau analysis at 2048^2 / 6.3 ppw (VERDICT 1's measured-analysis
+#     clause + empirical recycling-value measurement at scale)
+if (( $(left) > 2400 )); then
+    wait_tpu && PA_BUDGET_S=240 timeout 2400 \
+        python tools/r4_plateau_analysis.py > logs/plateau_2048.log 2>&1
+fi
+
 # 2) adjudicate learned vs classical at the trained scales (VERDICT 2)
 if (( $(left) > 3000 )); then
     wait_tpu && LG_SIZE=512 timeout 2700 \
