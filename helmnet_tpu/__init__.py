@@ -79,7 +79,7 @@ from .solvers.hybrid import solve_hybrid  # noqa: F401
 from .serve import ServeConfig, SolverService  # noqa: F401
 from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
 from .solvers.iterative3d import IterativeSolver3D, rollout3d  # noqa: F401
-from .solvers.timedomain import solve_cw  # noqa: F401
+from .solvers.timedomain import solve_cw, solve_cw3d  # noqa: F401
 from .train.checkpoint import load_reference_checkpoint  # noqa: F401
 from .train.loop import Trainer  # noqa: F401
 from .train.replay import ExperienceBatch, ReplayBuffer  # noqa: F401
@@ -136,6 +136,7 @@ __all__ = [
     "solve_helmholtz_deflated",
     "solve_hybrid",
     "solve_cw",
+    "solve_cw3d",
     "IterativeSolver",
     "IterativeSolver3D",
     "ServeConfig",
