@@ -116,14 +116,18 @@ def choose_solver(
         return SolverPlan(
             method="two_level_recycled",
             rationale=f"{n}^2 (~{wavelengths:.0f} wavelengths): CSLP "
-                      "plateaus from restart memory at this scale; "
-                      "two-level + FGCRO-DR recycling is the only "
-                      "descending method",
-            evidence="helm_8192_capability (CSLP 5.6e-2 plateau), "
-                     "helm_8192_twolevel / helm_8192_recycled",
-            kwargs=dict(smoother="cslp", restart=5, recycle_k=2,
-                        coarse_restart=16, coarse_max_restarts=2,
-                        transfer="spectral", tol=tol, host_arnoldi=True),
+                      "plateaus at 5.6e-2 from restart memory at this "
+                      "scale and plain two-level at 1.3e-2; two-level + "
+                      "FGCRO-DR recycling converges (9.7e-5 in 1215 s)",
+            evidence="helm_8192_capability, helm_8192_twolevel (plateau) "
+                     "vs helm_8192_recycled (converged)",
+            # the exact measured-converging 16 GB-chip config: restart 3 /
+            # k 1 / coarse 8x1 (restart 4+k2 and restart 5+k2 both OOM;
+            # see the PERF_NOTES HBM ladder)
+            kwargs=dict(smoother="cslp", restart=3, recycle_k=1,
+                        coarse_restart=8, coarse_max_restarts=1,
+                        transfer="spectral", tol=tol, host_arnoldi=True,
+                        keep_x_complex=True),
         )
 
     if n <= LEARNED_MAX_GRID and params is not None:
