@@ -66,7 +66,10 @@ class TestPolicyPins:
         two-level is the only descending method."""
         plan = choose_solver(_sos(8192), cfg=CFG)
         assert plan.method == "two_level_recycled"
-        assert plan.kwargs["recycle_k"] >= 2
+        # the measured-converging 16 GB-chip config (helm_8192_recycled)
+        assert plan.kwargs["recycle_k"] == 1
+        assert plan.kwargs["restart"] == 3
+        assert plan.kwargs["coarse_restart"] == 8
 
     def test_3d_measured_contrast_is_cslp(self):
         """helm3d_twolevel_256: CSLP keeps the wall-clock edge at
