@@ -47,6 +47,9 @@ def late_rate(traj):
 
 def main():
     import jax
+
+    if os.environ.get("PA_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PA_PLATFORM"])
     import jax.numpy as jnp
 
     from helmnet_tpu.core.config import Config
@@ -102,7 +105,7 @@ def main():
         print(f"    rel {traj[-1]:.3e} in {row['outers']} outers "
               f"({row['seconds']}s)  late rate "
               f"{row['late_contraction_per_cycle']}", flush=True)
-        record("plateau_2048", out)
+        record(f"plateau_{n}", out)
 
 
 if __name__ == "__main__":
