@@ -246,3 +246,66 @@ class TestIterativeRefinement:
         b = src[..., 0] + 1j * src[..., 1]
         r = np.linalg.norm(b - host(x)) / np.linalg.norm(b)
         assert r < 1e-10
+
+
+class TestChunkedSolve:
+    def test_chunked_matches_monolithic(self):
+        """solve_helmholtz_chunked (host-driven defect-correction cycles,
+        the production large-grid path promoted from tools/r3_large_4096)
+        reaches the same solution as the one-dispatch solve."""
+        import jax.numpy as jnp
+
+        from helmnet_tpu.core.config import Config, GeometryConfig
+        from helmnet_tpu.ops.spectral import make_operator
+        from helmnet_tpu.solvers.gmres import (
+            solve_helmholtz,
+            solve_helmholtz_chunked,
+        )
+
+        n, pml = 64, 8
+        cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=pml,
+                                             sigma_max=2.0))
+        op = make_operator(n, n, pml, 2.0, cfg.k0)
+        rng = np.random.default_rng(5)
+        sos = np.ones((n, n), np.float32)
+        sos[20:44, 16:48] = 1.0 + 0.4 * rng.random((24, 32)).astype(np.float32)
+        k_sq = jnp.asarray((1.0 / sos) ** 2)
+        src = np.zeros((n, n, 2), np.float32)
+        src[48, 32, 0] = 10.0
+        src = jnp.asarray(src)
+
+        mono = solve_helmholtz(op, k_sq, src, mode="matmul", restart=25,
+                               max_restarts=12, tol=1e-6,
+                               precond="shifted_laplace")
+        chun = solve_helmholtz_chunked(op, k_sq, src, mode="matmul",
+                                       restart=25, max_cycles=12, tol=1e-6,
+                                       precond="shifted_laplace")
+        norms = np.asarray(chun.residual_norms)
+        assert norms[-1] < 1e-5          # true relative residual
+        xm = np.asarray(mono.x)
+        xc = np.asarray(chun.x)
+        scale = np.abs(xm).max()
+        assert np.abs(xm - xc).max() < 1e-3 * scale
+
+    def test_chunked_budget_stops(self):
+        import time
+
+        import jax.numpy as jnp
+
+        from helmnet_tpu.core.config import Config, GeometryConfig
+        from helmnet_tpu.ops.spectral import make_operator
+        from helmnet_tpu.solvers.gmres import solve_helmholtz_chunked
+
+        n, pml = 64, 8
+        cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=pml,
+                                             sigma_max=2.0))
+        op = make_operator(n, n, pml, 2.0, cfg.k0)
+        k_sq = jnp.ones((n, n), jnp.float32)
+        src = np.zeros((n, n, 2), np.float32)
+        src[48, 32, 0] = 10.0
+        res = solve_helmholtz_chunked(op, k_sq, jnp.asarray(src),
+                                      mode="matmul", restart=10,
+                                      max_cycles=10000, tol=1e-30,
+                                      budget_s=0.0)
+        # budget 0: at most the initial residual + one cycle ran
+        assert len(np.asarray(res.residual_norms)) <= 2
