@@ -469,12 +469,43 @@ def solve_fgmres(
     mv_field = make_helmholtz_matvec(op, k_sq, cfg.operator_mode)
     mv = lambda v: mv_field(v.reshape(shape)).reshape(-1)
     precond = lambda v: precond_field(v.reshape(shape)).reshape(-1)
+    return run_fgmres_loop(
+        mv, precond, b.reshape(-1), shape, restart=restart,
+        max_restarts=max_restarts, tol=tol, x0=x0,
+        host_arnoldi=host_arnoldi, recycle_k=recycle_k,
+        recycle_state=recycle_state, budget_s=budget_s, on_cycle=on_cycle,
+        keep_x_complex=keep_x_complex, verbose=verbose,
+    )
+
+
+def run_fgmres_loop(
+    mv,
+    precond,
+    bvec: jax.Array,
+    shape: tuple,
+    *,
+    restart: int,
+    max_restarts: int,
+    tol: float,
+    x0=None,
+    host_arnoldi: bool = False,
+    recycle_k: int = 0,
+    recycle_state=None,
+    budget_s=None,
+    on_cycle=None,
+    keep_x_complex: bool = False,
+    verbose: bool = False,
+    label: str = "fgmres",
+) -> FGMRESResult:
+    """Shared FGMRES host driver over flat complex vectors (used by the
+    2D solve_fgmres and the 3D solve_fgmres_two_level3d). See
+    solve_fgmres for the semantics of every option."""
+    import time as _time
 
     # b is passed as an ARGUMENT to the jitted functions, never closed
     # over: jit lowering embeds closures as host-fetched constants, and
     # complex64 host<->device transfer is unimplemented on the axon
     # runtime (CLAUDE.md); arguments stay device-resident.
-    bvec = b.reshape(-1)
     if recycle_k > 0:
         if not host_arnoldi:
             raise ValueError("recycle_k > 0 requires host_arnoldi=True")
@@ -520,9 +551,9 @@ def solve_fgmres(
         if on_cycle is not None:
             on_cycle(list(norms))
         if verbose:
-            print(f"  fgmres[{it}]: rel={norms[-1]:.3e}", flush=True)
+            print(f"  {label}[{it}]: rel={norms[-1]:.3e}", flush=True)
     if keep_x_complex:
-        wavefield = x  # flat device complex; no [H, W, 2] pair built
+        wavefield = x  # flat device complex; no channel pair built
     else:
         xf = x.reshape(shape)
         wavefield = jnp.stack([xf.real, xf.imag], axis=-1)

@@ -26,9 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.hoist import LazyHoistedJit
 from ..ops.spectral3d import SpectralPML3D, make_operator3d
-from .fgmres import FGMRESResult, _fgmres_cycle, _make_host_arnoldi_cycle
+from .fgmres import FGMRESResult
 from .gmres import gmres_restarted
 from .helm3d import make_helmholtz_matvec3d, make_shifted_laplace_inverse3d
 
@@ -209,6 +208,11 @@ def solve_fgmres_two_level3d(
     tol: float = 1e-5,
     x0: Optional[jax.Array] = None,
     host_arnoldi: bool = False,
+    recycle_k: int = 0,
+    recycle_state=None,
+    budget_s=None,
+    on_cycle=None,
+    keep_x_complex: bool = False,
     verbose: bool = False,
 ) -> FGMRESResult:
     """Flexible GMRES with the 3D two-level preconditioner.
@@ -230,38 +234,12 @@ def solve_fgmres_two_level3d(
     )
     precond = lambda v: precond_field(v.reshape(shape)).reshape(-1)
 
-    bvec = b.reshape(-1)
-    if host_arnoldi:
-        cycle = _make_host_arnoldi_cycle(mv, precond, restart)
-    else:
-        import functools
+    from .fgmres import run_fgmres_loop
 
-        cycle = LazyHoistedJit(
-            functools.partial(_fgmres_cycle, mv, precond, restart=restart),
-            donate_argnums=(1,),  # x0 is dead after each cycle
-        )
-
-    @LazyHoistedJit
-    def true_relres(bv, x):
-        r = bv - mv(x)
-        return jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(bv), 1e-30)
-
-    zero_f = jnp.zeros(bvec.shape, jnp.float32)
-    x = (jax.lax.complex(zero_f, zero_f) if x0 is None
-         else jax.lax.complex(x0[..., 0], x0[..., 1]).reshape(-1))
-    norms = [float(np.asarray(true_relres(bvec, x)))]
-    it = 0
-    for _ in range(max_restarts):
-        if norms[-1] < tol:
-            break
-        x = cycle(bvec, x)
-        it += restart
-        norms.append(float(np.asarray(true_relres(bvec, x))))
-        if verbose:
-            print(f"  fgmres3d[{it}]: rel={norms[-1]:.3e}", flush=True)
-    xf = x.reshape(shape)
-    return FGMRESResult(
-        wavefield=jnp.stack([xf.real, xf.imag], axis=-1),
-        residual_norms=jnp.asarray(norms),
-        iterations=it,
+    return run_fgmres_loop(
+        mv, precond, b.reshape(-1), shape, restart=restart,
+        max_restarts=max_restarts, tol=tol, x0=x0,
+        host_arnoldi=host_arnoldi, recycle_k=recycle_k,
+        recycle_state=recycle_state, budget_s=budget_s, on_cycle=on_cycle,
+        keep_x_complex=keep_x_complex, verbose=verbose, label="fgmres3d",
     )

@@ -176,7 +176,23 @@ def restore_checkpoint(directory: str, step: int, template, sharded=False):
 
             restore_args = checkpoint_utils.construct_restore_args(template)
             return ckptr.restore(path, item=template, restore_args=restore_args)
-        return ckptr.restore(path, item=template)
+        try:
+            return ckptr.restore(path, item=template)
+        except ValueError:
+            # checkpoints written from a MESH trainer carry shardings that
+            # the plain restore refuses to deserialize without a concrete
+            # target; restore onto the template's (e.g. single-device)
+            # shardings instead — evaluating a domain-partitioned run's
+            # checkpoint on one device is the normal eval path.
+            from orbax.checkpoint import checkpoint_utils
+
+            tpl = jax.tree.map(
+                lambda a: (jnp.asarray(a) if not isinstance(a, jax.Array)
+                           else a),
+                template,
+            )
+            restore_args = checkpoint_utils.construct_restore_args(tpl)
+            return ckptr.restore(path, item=tpl, restore_args=restore_args)
 
 
 def _manifest_path(directory: str) -> str:

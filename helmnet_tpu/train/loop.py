@@ -710,7 +710,9 @@ class Trainer:
                 first_wavefields = np.asarray(out["wavefields"])[:, 0]
             final = np.asarray(out["rmse"])[-1]
             rmses.append(np.where(np.isnan(final), np.inf, final))
-        val_loss = float(np.mean(np.concatenate(rmses)))
+        finals = np.concatenate(rmses)
+        val_loss = float(np.mean(finals))
+        val_median = float(np.median(finals))
         self._log({"epoch": self.epoch, "val_loss": val_loss})
         if self._tb is not None:
             self._tb.add_scalar("val/val_loss", val_loss, self.global_step)
@@ -728,7 +730,10 @@ class Trainer:
                 log_img("wavefield/val_terminal", first_wavefields[-1])
             else:
                 log_img("wavefield/val", np.asarray(out["wavefield"])[0])
-        return {"val_loss": val_loss}
+        # median is robust to the early-training long-rollout divergence
+        # that dominates the mean (a single diverging sample can push the
+        # mean to 1e10 while 15/16 maps converge)
+        return {"val_loss": val_loss, "val_median": val_median}
 
     def _log(self, record: dict):
         if self._log_file:

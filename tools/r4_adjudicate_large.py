@@ -58,7 +58,12 @@ def main():
     solver = IterativeSolver.from_orbax_checkpoint(
         os.path.join(ROOT, "checkpoints", tag), best=True
     )
-    solver.set_domain_size(size)
+    # the training runs scale the reference 96^2 source location with the
+    # grid (tools/train_tpu_run.py); from_orbax restores the DEFAULT cfg
+    # (96^2 location), so evaluate at the same scaled location
+    scale = size / solver.cfg.geometry.domain_size
+    loc = tuple(int(round(c * scale)) for c in solver.cfg.source.location)
+    solver.set_domain_size(size, source_location=loc)
     cfg = solver.cfg
     src_pair = np.asarray(solver.source[0])
     src_norm = float(np.linalg.norm(src_pair.ravel()))
