@@ -79,7 +79,9 @@ from .solvers.hybrid import solve_hybrid  # noqa: F401
 from .serve import ServeConfig, SolverService  # noqa: F401
 from .solvers.iterative import IterativeSolver, rollout  # noqa: F401
 from .solvers.iterative3d import IterativeSolver3D, rollout3d  # noqa: F401
-from .solvers.timedomain import solve_cw, solve_cw3d  # noqa: F401
+from .solvers.timedomain import (  # noqa: F401
+    solve_cw, solve_cw3d, solve_cw3d_chunked,
+)
 from .train.checkpoint import load_reference_checkpoint  # noqa: F401
 from .train.loop import Trainer  # noqa: F401
 from .train.replay import ExperienceBatch, ReplayBuffer  # noqa: F401
@@ -137,6 +139,7 @@ __all__ = [
     "solve_hybrid",
     "solve_cw",
     "solve_cw3d",
+    "solve_cw3d_chunked",
     "IterativeSolver",
     "IterativeSolver3D",
     "ServeConfig",

@@ -56,16 +56,21 @@ class SolverPlan:
     evidence: str = ""
 
 
-def _contrast(sos_map) -> float:
-    # host-side when possible: serve.submit consults the policy per
-    # request, and a device round trip per submit costs ~RTT + 10 ms/MB
-    # on the tunneled runtime
+def _sos_range(sos_map) -> tuple[float, float]:
+    """(min, max) of the sos map as host floats. Host-side when possible:
+    serve.submit consults the policy per request. For device arrays the
+    reduction runs ON DEVICE and only two scalars cross the tunnel —
+    fetching the full map costs ~10 ms/MB (268 MB at 8192^2)."""
     if isinstance(sos_map, np.ndarray):
-        s = sos_map
-    else:
-        s = np.asarray(jax.device_get(jnp.asarray(sos_map, jnp.float32)))
-    lo = float(s.min())
-    return float(s.max()) / max(lo, 1e-6)
+        return float(sos_map.min()), float(sos_map.max())
+    s = jnp.asarray(sos_map, jnp.float32)
+    lo, hi = jax.device_get((jnp.min(s), jnp.max(s)))
+    return float(lo), float(hi)
+
+
+def _contrast(sos_map) -> float:
+    lo, hi = _sos_range(sos_map)
+    return hi / max(lo, 1e-6)
 
 
 def choose_solver(
@@ -81,13 +86,9 @@ def choose_solver(
     shape = tuple(np.shape(sos_map))
     is_3d = len(shape) == 3
     n = max(shape)
-    contrast = _contrast(sos_map)
+    sos_min, sos_max = _sos_range(sos_map)
+    contrast = sos_max / max(sos_min, 1e-6)
     omega = cfg.source.omega
-    if isinstance(sos_map, np.ndarray):
-        sos_min = float(sos_map.min())
-    else:
-        sos_min = float(np.asarray(jax.device_get(
-            jnp.min(jnp.asarray(sos_map, jnp.float32)))))
     wavelengths = n / (2 * np.pi * sos_min / omega)
 
     if is_3d:
@@ -254,24 +255,29 @@ def solve_auto(
 
     k_sq = (cfg.source.omega / jnp.asarray(sos_map, jnp.float32)) ** 2
     if plan.method == "cslp":
+        # overrides behave identically across both branches: everything in
+        # the merged kw is forwarded (mode/precond are popped so an
+        # override can't collide with the explicit keywords)
+        mode = kw.pop("mode", cfg.operator_mode)
+        precond = kw.pop("precond", "shifted_laplace")
         if n <= LEARNED_MAX_GRID:
             # small grids: one fixed-shape jitted solve (bounded anyway)
             from .gmres import solve_helmholtz
 
+            kw.setdefault("restart", 20)
+            kw.setdefault("max_restarts", 50)
+            kw.setdefault("tol", tol)
             res = solve_helmholtz(
-                op, k_sq, jnp.asarray(source), mode=cfg.operator_mode,
-                precond="shifted_laplace",
-                restart=kw.get("restart", 20),
-                max_restarts=kw.get("max_restarts", 50),
-                tol=kw.get("tol", tol),
+                op, k_sq, jnp.asarray(source), mode=mode,
+                precond=precond, **kw,
             )
         else:
             # large grids: host-chunked cycles (dispatch-duration bound)
             from .gmres import solve_helmholtz_chunked
 
             res = solve_helmholtz_chunked(
-                op, k_sq, source, mode=cfg.operator_mode,
-                precond="shifted_laplace", verbose=verbose, **kw,
+                op, k_sq, source, mode=mode,
+                precond=precond, verbose=verbose, **kw,
             )
         return res, plan
 
@@ -282,5 +288,19 @@ def solve_auto(
         kw.setdefault("recycle_k", 2)
     if kw.get("smoother") == "learned":
         kw["params"] = params
+    # keep_x_complex is an INTERNAL optimization of the budgeted cycle
+    # loop (skips the pair<->complex churn between restart cycles at
+    # 8192^2, where the 0.54 GB round trip was the r4 OOM). The public
+    # contract stays "wavefield is [H, W, 2] f32": unless the CALLER
+    # explicitly asked for the complex vector, rebuild the channel pair
+    # on device — a flat complex64 return would hit the unimplemented
+    # axon host-transfer path the moment anyone np.asarray()s it
+    # (cli/solve.py does exactly that).
+    internal_complex = kw.get("keep_x_complex", False) \
+        and "keep_x_complex" not in overrides
     res = solve_fgmres_two_level(op, source, sos_map, cfg=cfg, **kw)
+    if internal_complex and jnp.iscomplexobj(res.wavefield):
+        xc = res.wavefield.reshape(shape)
+        res = res._replace(
+            wavefield=jnp.stack([xc.real, xc.imag], axis=-1))
     return res, plan

@@ -448,6 +448,11 @@ def solve_fgmres(
     harmonic-Ritz deflation space across cycles (FGCRO-DR, see
     _make_recycled_host_cycle) and across calls via
     result.recycle_state -> the recycle_state argument of the next call.
+    NOTE: like x0, the (U, C) buffers of an incoming `recycle_state`
+    are DONATED — the thick-restart refresh invalidates them after the
+    first recycled cycle, so a retained tuple cannot be passed twice
+    (e.g. retrying after a crash); re-use only the tuple returned in
+    the NEWEST result, or pass copies (jnp.array(U), jnp.array(C)).
     Returns true relative residual history.
 
     Very-large-grid controls (8192^2 lives ~0.5 GB from the HBM cliff —

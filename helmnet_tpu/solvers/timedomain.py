@@ -255,3 +255,112 @@ def solve_cw3d(
     return TimeDomainResult(
         phasor=phasor, num_steps=n_transient + n_record, dt=dt
     )
+
+
+@functools.partial(jax.jit, static_argnames=("count", "record"))
+def _cw3d_chunk(p, p_prev, acc_c, acc_s, n0, dt, omega_t, neg_ksq, damp,
+                c2, src, *, count: int, record: bool):
+    """`count` leapfrog steps in ONE dispatch, starting at step index n0.
+    All field-sized operands are ARGUMENTS (never closed over) so nothing
+    is baked into the executable as a constant. Identical step math to
+    solve_cw3d so chunked == monolithic."""
+    def body(n, carry):
+        p, p_prev, ac, as_ = carry
+        t = n.astype(jnp.float32) * dt
+        pf = jnp.fft.fftn(jax.lax.complex(p, jnp.zeros_like(p)))
+        lap = jnp.fft.ifftn(neg_ksq * pf).real
+        accel = c2 * (lap + src * jnp.cos(omega_t * t))
+        p_next = 2.0 * p - p_prev + dt * dt * accel
+        p_next, p_d = damp * p_next, damp * p
+        if record:
+            ac = ac + p_next * jnp.cos(omega_t * t)
+            as_ = as_ + p_next * jnp.sin(omega_t * t)
+        return p_next, p_d, ac, as_
+
+    return jax.lax.fori_loop(n0, n0 + count, body,
+                             (p, p_prev, acc_c, acc_s))
+
+
+def solve_cw3d_chunked(
+    sos: jax.Array,
+    source_amplitude_map: jax.Array,
+    *,
+    omega: float = 1.0,
+    cfl: float = 0.1,
+    roundtrips: int = 10,
+    record_periods: int = 3,
+    sponge_width: int = 12,
+    sponge_strength: float = 1.0,
+    chunk_steps: int = 2000,
+    verbose: bool = False,
+) -> TimeDomainResult:
+    """solve_cw3d driven from the HOST in `chunk_steps`-step dispatches.
+
+    A larger-than-test 3D rollout (e.g. 128^3 x tens of thousands of
+    leapfrog steps) in one jitted dispatch exceeds the tunneled worker's
+    ~30 s single-dispatch limit and crashes it (CLAUDE.md); this carries
+    (p, p_prev, acc_c, acc_s) across host-level calls, analogous to
+    forward(chunk_iterations=...) and the host-driven GMRES cycles.
+    Numerically identical step sequence to solve_cw3d (same body, same
+    order); the last partial chunk uses a second executable.
+    """
+    import time as _time
+
+    sos = jnp.asarray(sos, jnp.float32)
+    src = jnp.asarray(source_amplitude_map, jnp.float32)
+    d, h, w = sos.shape
+
+    # plan on host (two scalar fetches), mirroring solve_cw3d's traced math
+    c_min, c_max = (float(x) for x in
+                    jax.device_get((jnp.min(sos), jnp.max(sos))))
+    dx = 1.0
+    dt = cfl * dx / c_max
+    diag = float(np.sqrt(d * d + h * h + w * w))
+    n_total = int(np.ceil(roundtrips * diag / c_min / dt))
+    period = 2.0 * np.pi / omega
+    n_record = int(np.ceil(record_periods * period / dt))
+    n_transient = max(n_total - n_record, 0)
+
+    kz = jnp.asarray(wavenumbers(d), jnp.float32)
+    ky = jnp.asarray(wavenumbers(h), jnp.float32)
+    kx = jnp.asarray(wavenumbers(w), jnp.float32)
+    ksq = (kz[:, None, None] ** 2 + ky[None, :, None] ** 2
+           + kx[None, None, :] ** 2)
+    kappa = jnp.sinc(c_max * jnp.sqrt(ksq) * dt / (2.0 * jnp.pi))
+    neg_ksq = -(ksq * kappa**2)
+    damp = jnp.exp(
+        -jnp.asarray(_sponge_sigma3d(d, h, w, sponge_width,
+                                     sponge_strength)) * dt)
+    c2 = sos**2
+    dt_dev = jnp.float32(dt)
+    om_dev = jnp.float32(omega)
+
+    zeros = jnp.zeros((d, h, w), jnp.float32)
+    p, p_prev, acc_c, acc_s = zeros, zeros, zeros, zeros
+    t0 = _time.time()
+
+    def run_span(start, stop, record):
+        nonlocal p, p_prev, acc_c, acc_s
+        n = start
+        while n < stop:
+            cnt = min(chunk_steps, stop - n)
+            p, p_prev, acc_c, acc_s = _cw3d_chunk(
+                p, p_prev, acc_c, acc_s, jnp.int32(n), dt_dev, om_dev,
+                neg_ksq, damp, c2, src, count=cnt, record=record)
+            n += cnt
+            if verbose:
+                # tiny fetch forces completion without pulling the field
+                _ = float(jax.device_get(p[0, 0, 0]))
+                print(f"  cw3d[{n}/{n_transient + n_record}] "
+                      f"{_time.time() - t0:.1f}s", flush=True)
+
+    run_span(0, n_transient, record=False)
+    run_span(n_transient, n_transient + n_record, record=True)
+
+    scale = 2.0 / max(float(n_record), 1.0)
+    phasor = jnp.stack([acc_c * scale, acc_s * scale], axis=-1)
+    return TimeDomainResult(
+        phasor=phasor,
+        num_steps=jnp.int32(n_transient + n_record),
+        dt=jnp.float32(dt),
+    )

@@ -87,18 +87,23 @@ class TestShardedTraining:
         srcs = t0.make_val_sources(4)
         l0 = [t0.training_epoch(maps)["train_loss_mean"]
               for _ in range(n_epochs)]
-        v0 = t0.validate(maps[:4], num_iterations=30, batch=4,
-                         sources=srcs)["val_loss"]
+        out0 = t0.validate(maps[:4], num_iterations=30, batch=4,
+                           sources=srcs)
+        v0, m0 = out0["val_loss"], out0["val_median"]
 
         mesh = make_mesh(ParallelConfig(data=2, y=2, x=2))
         t1 = Trainer(cfg, mesh=mesh)
         t1.fill_buffer(maps)
         l1 = [t1.training_epoch(maps)["train_loss_mean"]
               for _ in range(n_epochs)]
-        v1 = t1.validate(maps[:4], num_iterations=30, batch=4,
-                         sources=srcs)["val_loss"]
+        out1 = t1.validate(maps[:4], num_iterations=30, batch=4,
+                           sources=srcs)
+        v1, m1 = out1["val_loss"], out1["val_median"]
 
         # f32 reassociation across device boundaries accumulates over
         # 8 epochs of updates; trajectories must stay in lockstep
         np.testing.assert_allclose(l1, l0, rtol=1e-3)
         assert v1 == pytest.approx(v0, rel=5e-3), (v1, v0)
+        # the MEDIAN val metric (what the quality tooling keys save_topk
+        # and the >=100x criterion on) must match too — r5 pin
+        assert m1 == pytest.approx(m0, rel=5e-3), (m1, m0)

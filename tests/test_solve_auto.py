@@ -113,3 +113,56 @@ class TestSolveAutoExecutes:
         # zero source: converged immediately, but the call path honored
         # the override without kwargs conflicts
         assert plan.method == "cslp"
+
+    def test_small_cslp_forwards_all_overrides(self):
+        """ADVICE r4: the small-grid CSLP branch silently dropped
+        overrides other than restart/max_restarts/tol (e.g. mode),
+        inconsistent with the chunked branch's **kw."""
+        n = 64
+        cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=8,
+                                             sigma_max=2.0))
+        sos = _sos(n, 0.3)
+        src = np.zeros((n, n, 2), np.float32)
+        src[48, 32, 0] = 10.0
+        # mode + shift are NOT in the plan kwargs; both must reach
+        # solve_helmholtz without a duplicate-keyword TypeError
+        res, plan = solve_auto(src, sos, cfg=cfg, tol=1e-6,
+                               mode="matmul", shift=(1.0, 0.6))
+        assert plan.method == "cslp"
+        norms = np.asarray(res.residual_norms)
+        assert norms[-1] / norms[0] < 1e-3
+
+    def test_recycled_plan_returns_channel_pair(self, monkeypatch):
+        """ADVICE r4 (medium): the 8192-class plan sets
+        keep_x_complex=True internally; solve_auto must STILL return the
+        documented [H, W, 2] f32 wavefield — a flat complex return
+        poisons the axon process the moment cli/solve np.asarray()s it."""
+        import helmnet_tpu.solvers.auto as auto_mod
+
+        n = 64
+        monkeypatch.setattr(auto_mod, "RECYCLE_MIN_GRID", n)
+        cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=8,
+                                             sigma_max=2.0))
+        sos = _sos(n, 0.2)
+        src = np.zeros((n, n, 2), np.float32)
+        src[48, 32, 0] = 10.0
+        res, plan = solve_auto(src, sos, cfg=cfg, tol=1e-4,
+                               max_restarts=2, budget_s=60.0)
+        assert plan.method == "two_level_recycled"
+        assert plan.kwargs["keep_x_complex"] is True  # internal knob set
+        wf = res.wavefield
+        assert wf.shape == (n, n, 2)
+        assert not np.iscomplexobj(np.asarray(wf))
+
+    def test_sos_range_device_array(self):
+        """ADVICE r4: _sos_range reduces ON DEVICE for device arrays
+        (only two scalars cross the tunnel) and matches numpy."""
+        import jax.numpy as jnp
+
+        from helmnet_tpu.solvers.auto import _sos_range
+
+        s = _sos(96, 1.0)
+        lo_np, hi_np = _sos_range(s)
+        lo_dev, hi_dev = _sos_range(jnp.asarray(s))
+        assert lo_dev == pytest.approx(lo_np, rel=1e-6)
+        assert hi_dev == pytest.approx(hi_np, rel=1e-6)

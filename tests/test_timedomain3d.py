@@ -13,7 +13,7 @@ import pytest
 
 from helmnet_tpu.ops.spectral3d import make_operator3d, point_source_map3d
 from helmnet_tpu.solvers.helm3d import solve_helmholtz3d
-from helmnet_tpu.solvers.timedomain import solve_cw3d
+from helmnet_tpu.solvers.timedomain import solve_cw3d, solve_cw3d_chunked
 
 
 def to_complex(pair):
@@ -62,3 +62,25 @@ class TestTimeDomain3D:
         sos[18:26, 14:34, 14:34] = 1.5
         rel = self._compare(sos, (34, 24, 24))
         assert rel < 0.08, rel
+
+
+class TestChunkedMatchesMonolithic:
+    def test_chunked_equals_single_dispatch(self):
+        """solve_cw3d_chunked runs the identical step sequence in
+        host-driven dispatches (the tunneled worker crashes on single
+        dispatches past ~30 s, so any larger-than-test 3D validation
+        MUST go through this path); phasors must agree tightly."""
+        rng = np.random.default_rng(0)
+        sos = np.ones((16, 16, 16), np.float32)
+        sos[6:10, 5:11, 5:11] = 1.4
+        amp = np.zeros((16, 16, 16), np.float32)
+        amp[11, 8, 8] = 1.0
+        kw = dict(omega=1.0, cfl=0.2, roundtrips=3, record_periods=2,
+                  sponge_width=4, sponge_strength=1.0)
+        mono = solve_cw3d(sos, amp, **kw)
+        chunked = solve_cw3d_chunked(sos, amp, chunk_steps=37, **kw)
+        assert int(chunked.num_steps) == int(np.asarray(mono.num_steps))
+        np.testing.assert_allclose(
+            np.asarray(chunked.phasor), np.asarray(mono.phasor),
+            rtol=2e-5, atol=2e-6,
+        )

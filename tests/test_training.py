@@ -157,6 +157,10 @@ class TestTrainerSmoke:
         maps = make_dataset(4, imsize=32, seed=3)
         out = trainer.validate(maps, num_iterations=10, batch=4)
         assert np.isfinite(out["val_loss"])
+        # the median path: robust metric the sharded-quality tooling keys
+        # on (the MEAN is dominated by single diverging long rollouts
+        # mid-training — r4 verdict weak #2)
+        assert np.isfinite(out["val_median"]) and out["val_median"] > 0
 
 
 class TestExtendedSourceCurriculum:

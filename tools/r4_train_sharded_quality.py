@@ -90,9 +90,13 @@ def main():
     val_sources = tr.make_val_sources(len(val_maps))
 
     def validate():
+        # (mean, median): mid-training the MEAN is dominated by one or
+        # two diverging long rollouts (r4 verdict: 0.096 -> inf while
+        # the loss fell 54 -> 1.5); every decision below keys on the
+        # MEDIAN, the mean is recorded for continuity
         v = tr.validate(val_maps, num_iterations=val_iters, batch=8,
                         sources=val_sources)
-        return float(v["val_loss"])
+        return float(v["val_loss"]), float(v["val_median"])
 
     out = {
         "size": 96, "mesh": str(mesh), "buffer": buffer, "batch": batch,
@@ -102,9 +106,9 @@ def main():
     }
     path = os.path.join(ROOT, "TRAIN_SHARDED_QUALITY.json")
 
-    v0 = validate()
-    out["vals"].append({"epoch": 0, "val_loss": v0})
-    print(f"val@0: {v0:.4e}", flush=True)
+    v0, m0 = validate()
+    out["vals"].append({"epoch": 0, "val_loss": v0, "val_median": m0})
+    print(f"val@0: mean {v0:.4e}  median {m0:.4e}", flush=True)
     record(tag, out, path=path)
 
     deadline = time.time() + hours * 3600
@@ -120,26 +124,31 @@ def main():
               f"{stats['train_loss_mean']:.4e}  "
               f"{stats['epoch_time_s']:.1f}s", flush=True)
         if tr.epoch % val_every == 0:
-            v = validate()
-            out["vals"].append({"epoch": tr.epoch, "val_loss": v})
+            v, m = validate()
+            out["vals"].append({"epoch": tr.epoch, "val_loss": v,
+                                "val_median": m})
             out["val_reduction_vs_epoch0"] = v0 / v
-            print(f"  val@{tr.epoch}: {v:.4e}  (x{v0 / v:.1f} vs epoch 0)",
-                  flush=True)
+            out["median_reduction_vs_epoch0"] = m0 / m
+            print(f"  val@{tr.epoch}: mean {v:.4e}  median {m:.4e}  "
+                  f"(median x{m0 / m:.1f} vs epoch 0)", flush=True)
             record(tag, out, path=path)
+            # top-k keyed on the MEDIAN (the r4 run keyed on the mean and
+            # kept a 1.1e11-scored checkpoint)
             tr.save_topk(os.path.join(ROOT, "checkpoints", tag),
-                         v, k=2)
-    v = validate()
-    out["vals"].append({"epoch": tr.epoch, "val_loss": v})
+                         m, k=2)
+    v, m = validate()
+    out["vals"].append({"epoch": tr.epoch, "val_loss": v, "val_median": m})
     out["val_reduction_vs_epoch0"] = v0 / v
+    out["median_reduction_vs_epoch0"] = m0 / m
     losses = [e["loss"] for e in out["epochs"]]
     w = max(len(losses) // 10, 1)
     out["loss_decreased"] = (len(losses) > 2 * w and
                              float(np.mean(losses[-w:]))
                              < float(np.mean(losses[:w])))
     record(tag, out, path=path)
-    print(f"done: epochs {tr.epoch}  final val {v:.4e}  "
-          f"reduction x{v0 / v:.1f}  loss_decreased={out['loss_decreased']}",
-          flush=True)
+    print(f"done: epochs {tr.epoch}  final val mean {v:.4e} median {m:.4e}"
+          f"  median reduction x{m0 / m:.1f}  "
+          f"loss_decreased={out['loss_decreased']}", flush=True)
 
 
 if __name__ == "__main__":
