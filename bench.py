@@ -232,6 +232,11 @@ def main():
             "gridpoints_per_s": b * n * n / dt,
             "nnz_per_s": nnz / dt,
         }
+    except TimeoutError:
+        # an out-of-budget skip is not an error — record it as skipped
+        # (the r4 details file conflated the two)
+        details.setdefault("skipped_for_budget", []).append(
+            "stencil_spmv_512")
     except Exception as e:
         details["stencil_error"] = repr(e)
 

@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default=None,
                    help="orbax dir (enables the learned family)")
     p.add_argument("--source-location", type=int, nargs="+", default=None)
+    p.add_argument("--source-npz", type=str, default=None,
+                   help="npz with a [H, W, 2] (or [D, H, W, 2]) source "
+                        "map (e.g. an arc transducer from "
+                        "data.skull.make_arc_source) — overrides "
+                        "--source-location")
     p.add_argument("--amplitude", type=float, default=10.0)
     p.add_argument("--omega", type=float, default=1.0)
     p.add_argument("--tol", type=float, default=1e-4)
@@ -82,37 +87,55 @@ def main(argv=None):
     if args.dry_run:
         return 0
 
-    if args.source_location:
-        loc = tuple(args.source_location)
+    if args.source_npz:
+        with np.load(args.source_npz) as f:
+            src = f[f.files[0]]
+        if src.shape[:-1] != sos.shape or src.shape[-1] != 2:
+            raise SystemExit(
+                f"--source-npz shape {src.shape} does not match sos "
+                f"{sos.shape} + channel pair")
+        src = np.asarray(src, np.float32)
     else:
-        loc = tuple(int(c * max(sos.shape) / 96) for c in
-                    Config().source.location)
-        loc = loc if not is_3d else (loc[0], loc[1], sos.shape[2] // 2)
-    if is_3d:
-        from ..ops.source3d import point_source_map3d
+        if args.source_location:
+            loc = tuple(args.source_location)
+        else:
+            loc = tuple(int(c * max(sos.shape) / 96) for c in
+                        Config().source.location)
+            loc = loc if not is_3d else (loc[0], loc[1], sos.shape[2] // 2)
+        if is_3d:
+            from ..ops.source3d import point_source_map3d
 
-        src = point_source_map3d(*sos.shape, loc, args.amplitude, 0.0,
-                                 args.omega)
-    else:
-        from ..ops.source import point_source_map
+            src = point_source_map3d(*sos.shape, loc, args.amplitude, 0.0,
+                                     args.omega)
+        else:
+            from ..ops.source import point_source_map
 
-        src = point_source_map(*sos.shape, loc, args.amplitude, 0.0,
-                               args.omega)
+            src = point_source_map(*sos.shape, loc, args.amplitude, 0.0,
+                                   args.omega)
 
+    import time
+
+    t0 = time.time()
     res, plan = solve_auto(np.asarray(src), sos, cfg=cfg, params=params,
                            tol=args.tol, verbose=True)
     if isinstance(res, dict):  # learned rollout output
         field = np.asarray(res["best_wavefield"][0])
         final = float(np.asarray(res["best_rmse"][0]))
-        print(f"learned rollout: best residual RMSE {final:.3e}")
+        traj = np.asarray(res["rmse"])[:, 0]
+        print(f"learned rollout: best residual RMSE {final:.3e} "
+              f"({time.time() - t0:.1f} s)")
     else:
         field = np.asarray(res.wavefield if hasattr(res, "wavefield")
                            else res.x)
-        norms = np.asarray(res.residual_norms)
-        print(f"{plan.method}: rel residual {norms[-1] / max(norms[0], 1e-30):.3e} "
-              f"({int(np.asarray(res.iterations))} iterations)")
+        traj = np.asarray(res.residual_norms)
+        print(f"{plan.method}: rel residual "
+              f"{traj[-1] / max(traj[0], 1e-30):.3e} "
+              f"({int(np.asarray(res.iterations))} iterations, "
+              f"{time.time() - t0:.1f} s)")
     if args.out:
-        np.savez_compressed(args.out, wavefield=field)
+        np.savez_compressed(args.out, wavefield=field, trajectory=traj,
+                            method=plan.method,
+                            seconds=time.time() - t0)
         print(f"saved {args.out}")
     return 0
 
