@@ -45,6 +45,11 @@ def main():
     iters = int(os.environ.get("LG_ITERS", "3000"))
     chunk = int(os.environ.get("LG_CHUNK", "250"))
     budget = float(os.environ.get("LG_BUDGET_S", "600"))
+    # global wall budget: the queue runs this under `timeout`; results
+    # must be ON DISK before that fires (the r4 lesson) — stages check
+    # the clock and record what was not run instead of dying silently
+    total_budget = float(os.environ.get("LG_TOTAL_BUDGET_S", "2400"))
+    t_start = time.time()
     tag = {512: "tpu_r3b512", 1024: "tpu_r3c1024"}[size]
     batch = int(os.environ.get("LG_BATCH", "8" if size == 512 else "4"))
 
@@ -67,6 +72,26 @@ def main():
     cfg = solver.cfg
     src_pair = np.asarray(solver.source[0])
     src_norm = float(np.linalg.norm(src_pair.ravel()))
+
+    # incremental atomic writes: every stage lands on disk as it
+    # completes, so a timeout can truncate but never erase the run
+    path = os.path.join(ROOT, "results", f"adjudication_{size}.json")
+    out = {
+        "size": size, "checkpoint": tag, "n_maps": len(val),
+        "protocol": f"held-out val maps of the {size}^2 training dataset, "
+                    f"learned {iters}-iteration chunked rollout vs "
+                    f"classical at matched accuracy (learned median rel "
+                    f"residual as tol)",
+        "complete": False,
+    }
+
+    def flush():
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2)
+        os.replace(tmp, path)
+
+    flush()
 
     # ---- learned: terminal-quality chunked rollout ----------------------
     rows = []
@@ -97,12 +122,20 @@ def main():
         "batch": batch,
     }
     print("learned:", json.dumps(learned), flush=True)
+    out["learned"] = learned
+    flush()
 
     target = max(float(np.median(rel)), 1e-6)
 
     # ---- CSLP-GMRES to matched accuracy ---------------------------------
     cslp_rows = []
+    skipped_for_budget = []
     for i, m in enumerate(val):
+        if time.time() - t_start > total_budget:
+            skipped_for_budget = list(range(i, len(val)))
+            print(f"  cslp: global budget reached, maps {i}..{len(val)-1}"
+                  " not run", flush=True)
+            break
         sos = jnp.asarray(m, jnp.float32)
         k_sq = (cfg.source.omega / sos) ** 2
         t1 = time.time()
@@ -122,26 +155,36 @@ def main():
         print(f"  cslp {i + 1}/{len(val)}: rel {norms[-1]:.3e} "
               f"({cslp_rows[-1]['iterations']} its, "
               f"{cslp_rows[-1]['wall_s']}s)", flush=True)
+        out["cslp_partial"] = cslp_rows
+        flush()
     reached = [r for r in cslp_rows if r["reached_target"]]
     cslp = {
         "target_rel": target,
         "reached": len(reached),
         "n": len(cslp_rows),
+        "skipped_for_budget": skipped_for_budget,
         "wall_s_per_map_median": float(np.median(
             [r["wall_s"] for r in reached])) if reached else None,
         "iters_median": float(np.median(
             [r["iterations"] for r in reached])) if reached else None,
         "per_map": cslp_rows,
     }
-    print("cslp:", json.dumps({k: cslp[k] for k in list(cslp)[:5]}),
+    print("cslp:", json.dumps({k: cslp[k] for k in list(cslp)[:6]}),
           flush=True)
+    out["cslp"] = cslp
+    out.pop("cslp_partial", None)
+    flush()
 
     # ---- two-level on CSLP stallers only --------------------------------
     twolevel = None
     stallers = [r["map"] for r in cslp_rows if not r["reached_target"]]
-    if stallers:
+    if stallers and time.time() - t_start < total_budget:
         tl_rows = []
         for i in stallers:
+            if time.time() - t_start > total_budget:
+                print(f"  twolevel: global budget reached at map {i}",
+                      flush=True)
+                break
             sos = jnp.asarray(val[i], jnp.float32)
             t1 = time.time()
             res = solve_fgmres_two_level(
@@ -149,6 +192,7 @@ def main():
                 smoother="cslp", restart=8, max_restarts=40,
                 coarse_restart=16, coarse_max_restarts=2,
                 transfer="spectral", tol=target, host_arnoldi=True,
+                budget_s=max(total_budget - (time.time() - t_start), 60),
             )
             norms = np.asarray(res.residual_norms)
             tl_rows.append({
@@ -158,27 +202,17 @@ def main():
             })
             print(f"  twolevel map {i}: rel {norms[-1]:.3e} "
                   f"({tl_rows[-1]['wall_s']}s)", flush=True)
+            out["twolevel_on_stallers"] = tl_rows
+            flush()
         twolevel = tl_rows
 
-    out = {
-        "size": size, "checkpoint": tag, "n_maps": len(val),
-        "protocol": f"held-out val maps of the {size}^2 training dataset, "
-                    f"learned {iters}-iteration chunked rollout vs "
-                    f"classical at matched accuracy (learned median rel "
-                    f"residual as tol)",
-        "learned": learned,
-        "cslp": cslp,
-        "twolevel_on_stallers": twolevel,
-    }
+    out["twolevel_on_stallers"] = twolevel
     if reached and learned["wall_s_per_map"] > 0:
         out["cslp_vs_learned_wall_ratio"] = round(
             cslp["wall_s_per_map_median"] / learned["wall_s_per_map"], 2
         )
-    path = os.path.join(ROOT, "results", f"adjudication_{size}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(out, f, indent=2)
-    os.replace(tmp, path)
+    out["complete"] = not skipped_for_budget
+    flush()
     print(json.dumps({k: v for k, v in out.items()
                       if k not in ("cslp",)}, indent=2, default=str),
           flush=True)
