@@ -76,7 +76,10 @@ def main():
     # incremental atomic writes: every stage lands on disk as it
     # completes, so a timeout can truncate but never erase the run
     path = os.path.join(ROOT, "results", f"adjudication_{size}.json")
-    out = {
+    # NOTE: named `report`, NOT `out` — the learned loop below binds
+    # `out = solver.forward(...)`; shadowing the status dict with a
+    # pytree of device arrays crashed the first 512^2 run at flush()
+    report = {
         "size": size, "checkpoint": tag, "n_maps": len(val),
         "protocol": f"held-out val maps of the {size}^2 training dataset, "
                     f"learned {iters}-iteration chunked rollout vs "
@@ -88,7 +91,7 @@ def main():
     def flush():
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(out, f, indent=2)
+            json.dump(report, f, indent=2)
         os.replace(tmp, path)
 
     flush()
@@ -122,7 +125,7 @@ def main():
         "batch": batch,
     }
     print("learned:", json.dumps(learned), flush=True)
-    out["learned"] = learned
+    report["learned"] = learned
     flush()
 
     target = max(float(np.median(rel)), 1e-6)
@@ -155,7 +158,7 @@ def main():
         print(f"  cslp {i + 1}/{len(val)}: rel {norms[-1]:.3e} "
               f"({cslp_rows[-1]['iterations']} its, "
               f"{cslp_rows[-1]['wall_s']}s)", flush=True)
-        out["cslp_partial"] = cslp_rows
+        report["cslp_partial"] = cslp_rows
         flush()
     reached = [r for r in cslp_rows if r["reached_target"]]
     cslp = {
@@ -171,8 +174,8 @@ def main():
     }
     print("cslp:", json.dumps({k: cslp[k] for k in list(cslp)[:6]}),
           flush=True)
-    out["cslp"] = cslp
-    out.pop("cslp_partial", None)
+    report["cslp"] = cslp
+    report.pop("cslp_partial", None)
     flush()
 
     # ---- two-level on CSLP stallers only --------------------------------
@@ -202,18 +205,18 @@ def main():
             })
             print(f"  twolevel map {i}: rel {norms[-1]:.3e} "
                   f"({tl_rows[-1]['wall_s']}s)", flush=True)
-            out["twolevel_on_stallers"] = tl_rows
+            report["twolevel_on_stallers"] = tl_rows
             flush()
         twolevel = tl_rows
 
-    out["twolevel_on_stallers"] = twolevel
+    report["twolevel_on_stallers"] = twolevel
     if reached and learned["wall_s_per_map"] > 0:
-        out["cslp_vs_learned_wall_ratio"] = round(
+        report["cslp_vs_learned_wall_ratio"] = round(
             cslp["wall_s_per_map_median"] / learned["wall_s_per_map"], 2
         )
-    out["complete"] = not skipped_for_budget
+    report["complete"] = not skipped_for_budget
     flush()
-    print(json.dumps({k: v for k, v in out.items()
+    print(json.dumps({k: v for k, v in report.items()
                       if k not in ("cslp",)}, indent=2, default=str),
           flush=True)
 
