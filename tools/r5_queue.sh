@@ -1,9 +1,10 @@
 #!/bin/bash
 # Round-5 TPU queue — runs after the r4 queue tail + 4096 probe release
-# the chip. VERDICT r4 items 6 (roofline / perf lever), 8 (skull-CT
-# 512^2 through solve_auto), and a warm-cache full bench so BENCH_r05
-# covers every secondary entry (the r4 bench lost its budget to a
-# 1043 s cold compile).
+# the chip. Order: the adjudications FIRST (verdict top item; the
+# r4-tail attempts died on the status-dict shadowing bug, fixed in this
+# round), then roofline (VERDICT 6), skull-CT policy demo (VERDICT 8),
+# then a warm-cache full bench so BENCH_r05 covers every secondary
+# entry (the r4 bench lost its budget to a 1043 s cold compile).
 # Every item goes through tools/qrun.py -> logs/r5_queue_status.json
 # (STARTED/DONE/FAILED/TIMEOUT; one stalled item must never eat the
 # round silently again).
@@ -19,6 +20,14 @@ for pid in ${PREV_PIDS:-}; do
 done
 
 wait_tpu() { bash tools/wait_tpu_then.sh 5400 true; }
+
+# 0) learned-vs-classical adjudication, both trained scales (VERDICT 1)
+wait_tpu && python tools/qrun.py --status "$STATUS" --name adjudicate_512 \
+    --timeout 2700 -- env LG_SIZE=512 LG_TOTAL_BUDGET_S=2400 \
+    python tools/r4_adjudicate_large.py
+wait_tpu && python tools/qrun.py --status "$STATUS" --name adjudicate_1024 \
+    --timeout 2700 -- env LG_SIZE=1024 LG_TOTAL_BUDGET_S=2400 \
+    python tools/r4_adjudicate_large.py
 
 # 1) measured roofline of the bench primary + batch scaling (VERDICT 6)
 wait_tpu && python tools/qrun.py --status "$STATUS" --name roofline \
