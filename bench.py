@@ -240,6 +240,25 @@ def main():
     except Exception as e:
         details["stencil_error"] = repr(e)
 
+    # measured roofline context (VERDICT r4 #6): produced on chip by
+    # tools/r5_roofline.py from the EXACT primary executable's XLA cost
+    # analysis; embedded so BENCH_DETAILS carries the bound/headroom
+    # verdict alongside the number it explains
+    roofline_path = os.path.join(os.path.dirname(__file__),
+                                 "R5_ROOFLINE.json")
+    if os.path.exists(roofline_path):
+        try:
+            with open(roofline_path) as f:
+                rf = json.load(f)
+            details["roofline"] = {
+                "batch32": rf.get("cases", {}).get("32"),
+                "verdict": rf.get("verdict"),
+                "throughput_best": rf.get("throughput_best"),
+                "source": "R5_ROOFLINE.json (tools/r5_roofline.py)",
+            }
+        except Exception as e:
+            details["roofline_error"] = repr(e)
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = None
     if os.path.exists(baseline_path):
