@@ -50,7 +50,12 @@ def main():
     # the clock and record what was not run instead of dying silently
     total_budget = float(os.environ.get("LG_TOTAL_BUDGET_S", "2400"))
     t_start = time.time()
-    tag = {512: "tpu_r3b512", 1024: "tpu_r3c1024"}[size]
+    # LG_TAG overrides the default size->checkpoint mapping (e.g. to
+    # re-adjudicate a continued training run); results then go to
+    # adjudication_<size>_<tag>.json so the default artifact survives
+    tag = os.environ.get("LG_TAG") or \
+        {512: "tpu_r3b512", 1024: "tpu_r3c1024"}[size]
+    suffix = f"_{tag}" if os.environ.get("LG_TAG") else ""
     batch = int(os.environ.get("LG_BATCH", "8" if size == 512 else "4"))
 
     print("devices:", jax.devices(), flush=True)
@@ -75,7 +80,8 @@ def main():
 
     # incremental atomic writes: every stage lands on disk as it
     # completes, so a timeout can truncate but never erase the run
-    path = os.path.join(ROOT, "results", f"adjudication_{size}.json")
+    path = os.path.join(ROOT, "results",
+                        f"adjudication_{size}{suffix}.json")
     # NOTE: named `report`, NOT `out` — the learned loop below binds
     # `out = solver.forward(...)`; shadowing the status dict with a
     # pytree of device arrays crashed the first 512^2 run at flush()
