@@ -56,10 +56,14 @@ def main():
     tag = os.environ.get("LG_TAG") or \
         {512: "tpu_r3b512", 1024: "tpu_r3c1024"}[size]
     suffix = f"_{tag}" if os.environ.get("LG_TAG") else ""
+    # LG_DATA_TAG: evaluate `tag`'s checkpoint on ANOTHER tag's held-out
+    # maps (e.g. the 96^2-trained tpu_r2c resized to 512 on tpu_r3b512's
+    # val set — resize-at-inference vs natively-trained comparison)
+    data_tag = os.environ.get("LG_DATA_TAG", tag)
     batch = int(os.environ.get("LG_BATCH", "8" if size == 512 else "4"))
 
     print("devices:", jax.devices(), flush=True)
-    with np.load(os.path.join(ROOT, "datasets", tag, "maps.npz")) as f:
+    with np.load(os.path.join(ROOT, "datasets", data_tag, "maps.npz")) as f:
         val = f["val"]
     cap = int(os.environ.get("LG_MAPS", str(len(val))))
     val = val[:cap]
