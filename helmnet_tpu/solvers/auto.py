@@ -10,9 +10,9 @@ regression. This module encodes every benchmarked regime
 |----------------------------------------|------------------------|----------|
 | <=512^2 trained distribution           | learned rollout        | results/summary.json: 82 its vs GMRES 400-900 (gmres_sweep_96) |
 | <=512^2, no checkpoint                 | CSLP-GMRES             | gmres_sweep_96.shifted_laplace: 937/1000 converge |
-| 1024-4096^2, mild contrast (high k)    | CSLP-GMRES             | 2048^2: 1e-4 in ~77 s vs two-level 265 s (twolevel_2048_highk.cslp_comparison); 4096^2: gmres_4096_highk |
-| 1024-4096^2, strong heterogeneity      | two-level FGMRES       | 1024^2 far-OOD: only converger, 8.5e-5/683 s with learned smoother (fgmres_1024_twolevel_r3_fft); CSLP stalls 0.072 |
-| >=8192^2 (~1300+ wavelengths)          | two-level + recycling  | helm_8192_twolevel: CSLP plateaus 5.6e-2; two-level descends; FGCRO-DR (r4) through the restart plateau |
+| 1024-2048^2, mild contrast (high k)    | CSLP-GMRES             | 2048^2: 280 s to 2.7e-6 vs two-level family 246-375 s to 1e-5 (plateau_2048); twolevel_2048_highk.cslp_comparison |
+| 1024-2048^2, strong heterogeneity      | two-level FGMRES       | 1024^2 far-OOD: only converger, 8.5e-5/683 s with learned smoother (fgmres_1024_twolevel_r3_fft); CSLP stalls 0.072 |
+| >=4096^2 (~650+ wavelengths)           | two-level + recycling  | 4096^2: 9.9e-5/271 s vs CSLP 325 s (helm_4096_recycled, r5); 8192^2: CSLP plateaus 5.6e-2, recycled converges 9.7e-5 (helm_8192_recycled) |
 | 3D, any measured contrast              | CSLP-GMRES             | 256^3: 73 s homogeneous, 309 s at sos 1->2 block vs two-level 516 s (helm3d_twolevel_256) |
 | 3D, CSLP non-converging (projected)    | two-level 3D           | helm3d_twolevel_256: 30x Krylov compression when cycles matter |
 
@@ -43,9 +43,15 @@ CONTRAST_TWO_LEVEL = 1.45
 # grid size where the learned in-distribution rollout is trusted
 # (checkpoints exist and are adjudicated at 96-512; see TRAINING*.md)
 LEARNED_MAX_GRID = 512
-# size where even mild-contrast CSLP plateaus from restart memory
-# (helm_8192_capability: flattens at 5.6e-2 at ~1304 wavelengths)
-RECYCLE_MIN_GRID = 8192
+# size from which recycled two-level FGMRES beats host-chunked CSLP at
+# matched tolerance. Two measured points (r5): 4096^2 — recycled
+# restart3/k1/coarse8x1 reaches 9.9e-5 in 271 s vs CSLP 9.7e-5 in 325 s
+# (helm_4096_recycled vs gmres_4096_highk); 8192^2 — CSLP PLATEAUS at
+# 5.6e-2 from restart memory (helm_8192_capability) while the recycled
+# hierarchy converges (helm_8192_recycled). At 2048^2 CSLP still wins
+# at matched tol (plateau_2048 family sweep ~246-375 s to 1e-5 vs CSLP
+# 280 s to 2.7e-6), so the threshold sits between 2048 and 4096.
+RECYCLE_MIN_GRID = 4096
 
 
 @dataclass
@@ -116,12 +122,14 @@ def choose_solver(
     if n >= RECYCLE_MIN_GRID:
         return SolverPlan(
             method="two_level_recycled",
-            rationale=f"{n}^2 (~{wavelengths:.0f} wavelengths): CSLP "
-                      "plateaus at 5.6e-2 from restart memory at this "
-                      "scale and plain two-level at 1.3e-2; two-level + "
-                      "FGCRO-DR recycling converges (9.7e-5 in 1215 s)",
-            evidence="helm_8192_capability, helm_8192_twolevel (plateau) "
-                     "vs helm_8192_recycled (converged)",
+            rationale=f"{n}^2 (~{wavelengths:.0f} wavelengths): recycled "
+                      "two-level beats host-chunked CSLP at matched tol "
+                      "from 4096^2 (271 s vs 325 s) and is the only "
+                      "converger at 8192^2 (CSLP plateaus 5.6e-2 from "
+                      "restart memory)",
+            evidence="helm_4096_recycled vs gmres_4096_highk; "
+                     "helm_8192_capability (plateau) vs "
+                     "helm_8192_recycled (converged)",
             # the exact measured-converging 16 GB-chip config: restart 3 /
             # k 1 / coarse 8x1 (restart 4+k2 and restart 5+k2 both OOM;
             # see the PERF_NOTES HBM ladder)
@@ -174,7 +182,7 @@ def choose_solver(
                   "~3x faster wall-clock than the two-level on "
                   "mild-contrast high-k problems",
         evidence="twolevel_2048_highk.cslp_comparison (CSLP 2.7e-6/280 s "
-                 "vs two-level 1.0e-5/829 s), gmres_4096_highk",
+                 "vs two-level 1.0e-5/829 s), plateau_2048 family sweep",
         kwargs=dict(restart=25, max_cycles=160, tol=tol),
     )
 

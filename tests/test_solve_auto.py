@@ -44,8 +44,17 @@ class TestPolicyPins:
         plan = choose_solver(_sos(2048), cfg=CFG, params=FAKE_PARAMS)
         assert plan.method == "cslp"
 
-    def test_4096_highk_is_cslp(self):
+    def test_4096_highk_is_recycled_two_level(self):
+        """r5 re-measurement moved the threshold: recycled two-level
+        9.9e-5/271 s vs CSLP 9.7e-5/325 s at 4096^2
+        (helm_4096_recycled vs gmres_4096_highk)."""
         plan = choose_solver(_sos(4096), cfg=CFG)
+        assert plan.method == "two_level_recycled"
+
+    def test_2048_stays_cslp_below_recycle_threshold(self):
+        """plateau_2048: the best two-level-family config (246 s to
+        1e-5) still loses to CSLP (280 s to 2.7e-6) at 2048^2."""
+        plan = choose_solver(_sos(2048), cfg=CFG)
         assert plan.method == "cslp"
 
     def test_1024_strong_heterogeneity_is_two_level(self):
