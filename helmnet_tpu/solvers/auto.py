@@ -8,8 +8,9 @@ regression. This module encodes every benchmarked regime
 
 | regime (measured problem)              | winner                 | evidence |
 |----------------------------------------|------------------------|----------|
-| <=512^2 trained distribution           | learned rollout        | results/summary.json: 82 its vs GMRES 400-900 (gmres_sweep_96) |
-| <=512^2, no checkpoint                 | CSLP-GMRES             | gmres_sweep_96.shifted_laplace: 937/1000 converge |
+| <=96^2 trained distribution            | learned rollout        | results/summary.json: 82 its vs GMRES 400-900 (gmres_sweep_96) |
+| <=96^2, no checkpoint                  | CSLP-GMRES             | gmres_sweep_96.shifted_laplace: 937/1000 converge |
+| 128-512^2 even WITH checkpoint         | CSLP-GMRES             | adjudication_512: learned stalls rel 0.33, CSLP 4x faster to that accuracy (r5); adjudication_1024: 0.84 / 5.5x |
 | 1024-2048^2, mild contrast (high k)    | CSLP-GMRES             | 2048^2: 280 s to 2.7e-6 vs two-level family 246-375 s to 1e-5 (plateau_2048); twolevel_2048_highk.cslp_comparison |
 | 1024-2048^2, strong heterogeneity      | two-level FGMRES       | 1024^2 far-OOD: only converger, 8.5e-5/683 s with learned smoother (fgmres_1024_twolevel_r3_fft); CSLP stalls 0.072 |
 | >=4096^2 (~650+ wavelengths)           | two-level + recycling  | 4096^2: 9.9e-5/271 s vs CSLP 325 s (helm_4096_recycled, r5); 8192^2: CSLP plateaus 5.6e-2, recycled converges 9.7e-5 (helm_8192_recycled) |
@@ -40,9 +41,17 @@ import numpy as np
 # problems (contrast 1, CSLP converges and wins 3x). Ellipses-dataset
 # media reach ~1.36; the far-OOD/skull regime sits at >=1.5.
 CONTRAST_TWO_LEVEL = 1.45
-# grid size where the learned in-distribution rollout is trusted
-# (checkpoints exist and are adjudicated at 96-512; see TRAINING*.md)
-LEARNED_MAX_GRID = 512
+# grid size where the learned in-distribution rollout is trusted — set
+# by ADJUDICATION, not checkpoint availability. 96^2: learned is 19.1x
+# (bare) / 9.5x (CSLP) faster at matched 1e-4 accuracy over the full
+# n=1000 test distribution (results/gmres_sweep_96.json). 512^2/1024^2
+# (r5, results/adjudication_{512,1024}.json): the trained checkpoints'
+# TERMINAL quality stalls at rel 0.33 / 0.84 and CSLP reaches that
+# accuracy 4x / 5.5x faster per map — the learned path LOSES above the
+# trained-envelope quality cliff, so large grids route classical even
+# when a checkpoint exists. (256^2 pending: serve_mixed shows resized
+# terminal best-rmse 9.4e-6; adjudicate_256_r2c queued.)
+LEARNED_MAX_GRID = 96
 # size from which recycled two-level FGMRES beats host-chunked CSLP at
 # matched tolerance. Two measured points (r5): 4096^2 — recycled
 # restart3/k1/coarse8x1 reaches 9.9e-5 in 271 s vs CSLP 9.7e-5 in 325 s

@@ -38,6 +38,20 @@ class TestPolicyPins:
         plan = choose_solver(_sos(96, 1.0), cfg=CFG)
         assert plan.method == "cslp"
 
+    def test_512_with_checkpoint_is_classical_after_adjudication(self):
+        """r5 adjudication (results/adjudication_512.json): the trained
+        512^2 checkpoint's terminal rollout stalls at rel 0.33 and CSLP
+        reaches that accuracy 4x faster — a checkpoint no longer routes
+        512^2 to the learned path."""
+        plan = choose_solver(_sos(512, 0.3), cfg=CFG, params=FAKE_PARAMS)
+        assert plan.method == "cslp"
+
+    def test_1024_mild_with_checkpoint_is_classical(self):
+        """adjudication_1024.json: learned terminal rel 0.84, CSLP 5.5x
+        faster at matched accuracy."""
+        plan = choose_solver(_sos(1024, 0.3), cfg=CFG, params=FAKE_PARAMS)
+        assert plan.method == "cslp"
+
     def test_2048_highk_mild_contrast_is_cslp_not_two_level(self):
         """twolevel_2048_highk.cslp_comparison: CSLP 280 s vs two-level
         829 s — the regression solve_auto exists to prevent."""
