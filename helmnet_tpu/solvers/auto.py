@@ -8,9 +8,10 @@ regression. This module encodes every benchmarked regime
 
 | regime (measured problem)              | winner                 | evidence |
 |----------------------------------------|------------------------|----------|
-| <=96^2 trained distribution            | learned rollout        | results/summary.json: 82 its vs GMRES 400-900 (gmres_sweep_96) |
-| <=96^2, no checkpoint                  | CSLP-GMRES             | gmres_sweep_96.shifted_laplace: 937/1000 converge |
-| 128-512^2 even WITH checkpoint         | CSLP-GMRES             | adjudication_512: learned stalls rel 0.33, CSLP 4x faster to that accuracy (r5); adjudication_1024: 0.84 / 5.5x |
+| <=512^2 in-distribution + checkpoint   | learned rollout        | 96^2: gmres_sweep_96 (19.1x/9.5x, n=1000); 512^2: adjudication_512_tpu_r2c — RESIZED r2c 8.9e-6 on 16/16, CSLP stalls 4/16 (ship r2c resized; native r3b512 stalls rel 0.33, adjudication_512) |
+| <=512^2, no checkpoint                 | CSLP-GMRES             | gmres_sweep_96.shifted_laplace: 937/1000 converge |
+| >=512^2, contrast > 1.45 (skull class) | two-level FGMRES       | skull_auto_512: CSLP stalls 0.158; fgmres_1024 far-OOD: two-level only converger |
+| 1024^2 even WITH checkpoint (mild)     | CSLP-GMRES             | adjudication_1024: native ckpt stalls rel 0.84, CSLP 5.5x faster |
 | 1024-2048^2, mild contrast (high k)    | CSLP-GMRES             | 2048^2: 280 s to 2.7e-6 vs two-level family 246-375 s to 1e-5 (plateau_2048); twolevel_2048_highk.cslp_comparison |
 | 1024-2048^2, strong heterogeneity      | two-level FGMRES       | 1024^2 far-OOD: only converger, 8.5e-5/683 s with learned smoother (fgmres_1024_twolevel_r3_fft); CSLP stalls 0.072 |
 | >=4096^2 (~650+ wavelengths)           | two-level + recycling  | 4096^2: 9.9e-5/271 s vs CSLP 325 s (helm_4096_recycled, r5); 8192^2: CSLP plateaus 5.6e-2, recycled converges 9.7e-5 (helm_8192_recycled) |
@@ -44,14 +45,18 @@ CONTRAST_TWO_LEVEL = 1.45
 # grid size where the learned in-distribution rollout is trusted — set
 # by ADJUDICATION, not checkpoint availability. 96^2: learned is 19.1x
 # (bare) / 9.5x (CSLP) faster at matched 1e-4 accuracy over the full
-# n=1000 test distribution (results/gmres_sweep_96.json). 512^2/1024^2
-# (r5, results/adjudication_{512,1024}.json): the trained checkpoints'
-# TERMINAL quality stalls at rel 0.33 / 0.84 and CSLP reaches that
-# accuracy 4x / 5.5x faster per map — the learned path LOSES above the
-# trained-envelope quality cliff, so large grids route classical even
-# when a checkpoint exists. (256^2 pending: serve_mixed shows resized
-# terminal best-rmse 9.4e-6; adjudicate_256_r2c queued.)
-LEARNED_MAX_GRID = 96
+# n=1000 test distribution (results/gmres_sweep_96.json). 512^2 (r5):
+# checkpoint choice decides everything — the NATIVE 0.6h-trained
+# tpu_r3b512 stalls at rel 0.33 (CSLP 4x faster to that accuracy,
+# adjudication_512.json), but the 96^2-trained tpu_r2c RESIZED to 512^2
+# reaches median best rmse 8.9e-6 / rel 6.5e-4 on 16/16 maps in
+# 23.8 s/map while CSLP stalls on 4/16 and classical needs a per-map
+# two-level fallback (adjudication_512_tpu_r2c.json) — so 512 stays
+# learned WITH the resized r2c checkpoint as the shipped path. 1024^2:
+# native checkpoint terminal rel 0.84, CSLP 5.5x faster
+# (adjudication_1024.json) — classical above 512 (r2c-resized-1024
+# adjudication queued; raise on evidence only).
+LEARNED_MAX_GRID = 512
 # size from which recycled two-level FGMRES beats host-chunked CSLP at
 # matched tolerance. Two measured points (r5): 4096^2 — recycled
 # restart3/k1/coarse8x1 reaches 9.9e-5 in 271 s vs CSLP 9.7e-5 in 325 s
@@ -148,13 +153,41 @@ def choose_solver(
                         keep_x_complex=True),
         )
 
+    if contrast > CONTRAST_TWO_LEVEL and n >= 512:
+        # strong heterogeneity from 512^2 up: CSLP stalls (skull 512^2
+        # contrast 2.0: 0.158 after 2000 its, results/skull_auto_512;
+        # 1024^2 far-OOD: 0.072) and the learned TERMINAL rollout is
+        # not adjudicated off-distribution — the two-level coarse
+        # correction is the only measured converger class
+        smoother = "learned" if params is not None else "cslp"
+        return SolverPlan(
+            method="two_level",
+            rationale=f"{n}^2, contrast {contrast:.2f} > "
+                      f"{CONTRAST_TWO_LEVEL}: CSLP stalls on strongly "
+                      "heterogeneous media at this size; the two-level "
+                      f"({smoother} smoother, spectral transfer) is the "
+                      "only measured converger",
+            evidence="fgmres_1024_twolevel_r3_fft (8.5e-5/683 s) vs "
+                     "fgmres_1024.cslp_comparison (stalls at 0.072); "
+                     "skull_auto_512 (CSLP 0.158 after 2000 its)",
+            kwargs=dict(smoother=smoother, restart=8, tol=tol,
+                        transfer="spectral", coarse_restart=32,
+                        coarse_max_restarts=2, host_arnoldi=True),
+        )
+
     if n <= LEARNED_MAX_GRID and params is not None:
         return SolverPlan(
             method="learned",
             rationale=f"{n}^2 within the trained envelope with a "
-                      "checkpoint: 82-iteration median to 1e-4 vs "
-                      "CSLP-GMRES 400 / bare GMRES 900",
-            evidence="results/summary.json + results/gmres_sweep_96.json",
+                      "checkpoint: 82-iteration median to 1e-4 at 96^2; "
+                      "at 512^2 the RESIZED 96^2 model reaches median "
+                      "best rmse 8.9e-6 on 16/16 maps where CSLP stalls "
+                      "on 4/16 (ship tpu_r2c resized — NOT the "
+                      "undertrained native-512 checkpoint, which stalls "
+                      "at rel 0.33)",
+            evidence="results/gmres_sweep_96.json; "
+                     "results/adjudication_512_tpu_r2c.json (resized "
+                     "wins) vs adjudication_512.json (native loses)",
             kwargs=dict(num_iterations=1000),
         )
 
@@ -166,22 +199,6 @@ def choose_solver(
                       "GMRES reaches 139/1000",
             evidence="results/gmres_sweep_96.json",
             kwargs=dict(restart=20, max_restarts=50, tol=tol),
-        )
-
-    if contrast > CONTRAST_TWO_LEVEL:
-        smoother = "learned" if params is not None else "cslp"
-        return SolverPlan(
-            method="two_level",
-            rationale=f"{n}^2, contrast {contrast:.2f} > "
-                      f"{CONTRAST_TWO_LEVEL}: CSLP stalls on strongly "
-                      "heterogeneous media at this size; the two-level "
-                      f"({smoother} smoother, spectral transfer) is the "
-                      "only measured converger",
-            evidence="fgmres_1024_twolevel_r3_fft (8.5e-5/683 s) vs "
-                     "fgmres_1024.cslp_comparison (stalls at 0.072)",
-            kwargs=dict(smoother=smoother, restart=8, tol=tol,
-                        transfer="spectral", coarse_restart=32,
-                        coarse_max_restarts=2, host_arnoldi=True),
         )
 
     return SolverPlan(

@@ -38,13 +38,23 @@ class TestPolicyPins:
         plan = choose_solver(_sos(96, 1.0), cfg=CFG)
         assert plan.method == "cslp"
 
-    def test_512_with_checkpoint_is_classical_after_adjudication(self):
-        """r5 adjudication (results/adjudication_512.json): the trained
-        512^2 checkpoint's terminal rollout stalls at rel 0.33 and CSLP
-        reaches that accuracy 4x faster — a checkpoint no longer routes
-        512^2 to the learned path."""
+    def test_512_mild_with_checkpoint_is_learned_resized(self):
+        """adjudication_512_tpu_r2c (r5): the 96^2-trained model RESIZED
+        to 512^2 reaches 8.9e-6 median best rmse on 16/16 maps while
+        CSLP stalls on 4/16 — 512^2 in-distribution stays learned (the
+        shipped checkpoint is r2c resized; the native r3b512 stalls at
+        rel 0.33, adjudication_512.json)."""
         plan = choose_solver(_sos(512, 0.3), cfg=CFG, params=FAKE_PARAMS)
-        assert plan.method == "cslp"
+        assert plan.method == "learned"
+
+    def test_512_strong_contrast_is_two_level_even_with_ckpt(self):
+        """skull_auto_512 (r5): at 512^2 contrast 2.0 CSLP stalls at
+        0.158 and the learned terminal rollout is unadjudicated
+        off-distribution — strong heterogeneity at >=512 routes
+        two-level regardless of checkpoint."""
+        plan = choose_solver(_sos(512, 1.0), cfg=CFG, params=FAKE_PARAMS)
+        assert plan.method == "two_level"
+        assert plan.kwargs["smoother"] == "learned"
 
     def test_1024_mild_with_checkpoint_is_classical(self):
         """adjudication_1024.json: learned terminal rel 0.84, CSLP 5.5x

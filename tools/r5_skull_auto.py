@@ -63,7 +63,14 @@ def main():
 
     from helmnet_tpu.cli import solve as solve_cli
 
-    ckpt = os.path.join(ROOT, "checkpoints", "tpu_r3b512")
+    # default r2c: the 96^2-trained model resized at inference is the
+    # shipped learned path at every 2D size <= 512
+    # (results/adjudication_512_tpu_r2c.json); under the r5 policy this
+    # problem (contrast 2.0 at 512^2) routes two_level with the learned
+    # smoother — the CSLP stall this tool measured (rel 0.158 after
+    # 2000 its) is exactly the branch evidence
+    ckpt = os.path.join(ROOT, "checkpoints",
+                        os.environ.get("SK_CKPT", "tpu_r2c"))
     base_argv = ["--sos", sos_npz, "--source-npz", src_npz,
                  "--checkpoint", ckpt, "--tol", "1e-4"]
 
