@@ -8,7 +8,7 @@ regression. This module encodes every benchmarked regime
 
 | regime (measured problem)              | winner                 | evidence |
 |----------------------------------------|------------------------|----------|
-| <=512^2 in-distribution + checkpoint   | learned rollout        | 96^2: gmres_sweep_96 (19.1x/9.5x, n=1000); 512^2: adjudication_512_tpu_r2c — RESIZED r2c 8.9e-6 on 16/16, CSLP stalls 4/16 (ship r2c resized; native r3b512 stalls rel 0.33, adjudication_512) |
+| <=512^2 in-distribution + checkpoint   | learned rollout        | adjudicated at EVERY size class with the resized r2c ckpt — 96^2: 9.5x vs CSLP (n=1000 sweep); 256^2: 1.17x + 16/16 vs CSLP 14/16 (adjudication_256_tpu_r2c); 512^2: 8.9e-6 on 16/16, CSLP stalls 4/16 (adjudication_512_tpu_r2c; native r3b512 stalls rel 0.33) |
 | <=512^2, no checkpoint                 | CSLP-GMRES             | gmres_sweep_96.shifted_laplace: 937/1000 converge |
 | >=512^2, contrast > 1.45 (skull class) | two-level FGMRES       | skull_auto_512: CSLP stalls 0.158; fgmres_1024 far-OOD: two-level only converger |
 | 1024^2 even WITH checkpoint (mild)     | CSLP-GMRES             | adjudication_1024: native ckpt stalls rel 0.84, CSLP 5.5x faster |
