@@ -54,8 +54,14 @@ CONTRAST_TWO_LEVEL = 1.45
 # two-level fallback (adjudication_512_tpu_r2c.json) — so 512 stays
 # learned WITH the resized r2c checkpoint as the shipped path. 1024^2:
 # native checkpoint terminal rel 0.84, CSLP 5.5x faster
-# (adjudication_1024.json) — classical above 512 (r2c-resized-1024
-# adjudication queued; raise on evidence only).
+# (adjudication_1024.json); r2c RESIZED to 1024^2 (r5,
+# adjudication_1024_tpu_r2c.json) is scale-stable in QUALITY (median
+# best rmse 1.2e-5, 8/8 robust, flat 47.1 s/map batched) but its
+# terminal rel residual floors at 1.7e-3 — it cannot certify the
+# default tol 1e-4, and CSLP reaches the matched 1.7e-3 at 0.83x the
+# wall (median 39 s/map) and keeps converging — so classical keeps
+# 1024 for certified-tolerance solves; the resized rollout remains the
+# better pick only when a ~1e-5-rmse field at fixed latency is enough.
 LEARNED_MAX_GRID = 512
 # size from which recycled two-level FGMRES beats host-chunked CSLP at
 # matched tolerance. Two measured points (r5): 4096^2 — recycled
