@@ -267,9 +267,17 @@ def solve_helmholtz_chunked(
     shift: tuple = (1.0, 0.5),
     budget_s: float = float("inf"),
     verbose: bool = False,
+    x0=None,
 ):
     """Host-chunked restarted GMRES: ONE bounded device dispatch per
     restart cycle, warm-started by defect correction (u += solve(-r(u))).
+
+    x0: optional [H, W, 2] channel-pair initial iterate (e.g. the
+    best-iterate of a learned rollout — the large-grid analog of
+    solvers/hybrid.solve_hybrid). Defect correction makes warm starts
+    exact: every cycle solves against the TRUE residual of the running
+    iterate, so a good x0 only shrinks the work; reported norms remain
+    true relative residuals of the original system.
 
     This is the production large-grid classical path (promoted from
     tools/r3_large_4096.py, which measured 4096^2 CSLP to 9.7e-5 with
@@ -300,7 +308,13 @@ def solve_helmholtz_chunked(
 
     src_norm = float(np.asarray(jnp.linalg.norm(src.reshape(-1))))
     t0 = _time.time()
-    u = jnp.zeros(src.shape, jnp.float32)
+    if x0 is None:
+        u = jnp.zeros(src.shape, jnp.float32)
+    else:
+        u = jnp.asarray(x0, jnp.float32)
+        if u.shape != src.shape:
+            raise ValueError(
+                f"x0 shape {u.shape} != source pair shape {src.shape}")
     hist, cycles_run = [], 0
     for _ in range(max_cycles):
         b_eff, rnorm = _neg_residual(op, k_sq, src, u)

@@ -287,6 +287,61 @@ class TestChunkedSolve:
         scale = np.abs(xm).max()
         assert np.abs(xm - xc).max() < 1e-3 * scale
 
+    def test_chunked_warm_start(self):
+        """x0 warm start (the large-grid hybrid handoff): starting from
+        the converged solution needs zero additional cycles, and a
+        partially-converged x0 reaches tol in fewer cycles than cold."""
+        import jax.numpy as jnp
+
+        from helmnet_tpu.core.config import Config, GeometryConfig
+        from helmnet_tpu.ops.spectral import make_operator
+        from helmnet_tpu.solvers.gmres import solve_helmholtz_chunked
+
+        n, pml = 64, 8
+        cfg = Config(geometry=GeometryConfig(domain_size=n, pml_size=pml,
+                                             sigma_max=2.0))
+        op = make_operator(n, n, pml, 2.0, cfg.k0)
+        rng = np.random.default_rng(5)
+        sos = np.ones((n, n), np.float32)
+        sos[20:44, 16:48] = 1.0 + 0.4 * rng.random((24, 32)).astype(np.float32)
+        k_sq = jnp.asarray((1.0 / sos) ** 2)
+        src = np.zeros((n, n, 2), np.float32)
+        src[48, 32, 0] = 10.0
+        src = jnp.asarray(src)
+
+        cold = solve_helmholtz_chunked(op, k_sq, src, mode="matmul",
+                                       restart=25, max_cycles=30, tol=1e-5,
+                                       precond="shifted_laplace")
+        cold_cycles = len(np.asarray(cold.residual_norms)) - 1
+        assert np.asarray(cold.residual_norms)[-1] < 1e-5
+
+        # exact warm start: the initial residual already satisfies tol
+        warm = solve_helmholtz_chunked(op, k_sq, src, mode="matmul",
+                                       restart=25, max_cycles=30, tol=1e-5,
+                                       precond="shifted_laplace",
+                                       x0=cold.x)
+        assert len(np.asarray(warm.residual_norms)) == 1
+        assert np.asarray(warm.residual_norms)[0] < 1e-5
+
+        # partial warm start: hand off a half-converged iterate
+        part = solve_helmholtz_chunked(op, k_sq, src, mode="matmul",
+                                       restart=25,
+                                       max_cycles=max(cold_cycles // 2, 1),
+                                       tol=1e-30,
+                                       precond="shifted_laplace")
+        cont = solve_helmholtz_chunked(op, k_sq, src, mode="matmul",
+                                       restart=25, max_cycles=30, tol=1e-5,
+                                       precond="shifted_laplace",
+                                       x0=part.x)
+        cont_cycles = len(np.asarray(cont.residual_norms)) - 1
+        assert np.asarray(cont.residual_norms)[-1] < 1e-5
+        assert cont_cycles < cold_cycles
+
+        # shape guard
+        with pytest.raises(ValueError):
+            solve_helmholtz_chunked(op, k_sq, src, mode="matmul",
+                                    x0=jnp.zeros((n, n)))
+
     def test_chunked_budget_stops(self):
         import time
 
